@@ -1,0 +1,112 @@
+"""Unit rule-table for canonicalization — mirrors the jest-style spec tables
+of the reference (SURVEY.md §5: normalizeUrl rules of
+webreplay-standalone/src/libs/warc/utils.ts:12-93, scheme completion of
+parallel_computing_tasks.py:199-208, dedup key of :209-211)."""
+
+import pandas as pd
+
+from warc_bench_spark.functions.urls import (
+    URL_PATTERN,
+    canonicalize_url,
+    complete_scheme,
+    dedup_key,
+    sha256_hex,
+)
+
+import hashlib
+import re
+
+
+CASES = [
+    # volatile params -> placeholder (percent-encoded braces, as JS
+    # URLSearchParams.toString() serializes them)
+    ("https://example.com/?timestamp=12345", "https://example.com/?timestamp=%7Btimestamp%7D"),
+    ("https://example.com/a?width=800&height=600", "https://example.com/a?width=%7Bwidth%7D&height=%7Bheight%7D"),
+    ("https://example.com/a?r=9&_=123", "https://example.com/a?r=%7Br%7D&_=%7B_%7D"),
+    # prefix params
+    (
+        "https://maps.example.com/x?viewport.lat=1.2&viewport.lng=3.4",
+        "https://maps.example.com/x?viewport.lat=%7Bviewport.lat%7D&viewport.lng=%7Bviewport.lng%7D",
+    ),
+    (
+        "https://x.com/?client_metadata.session=abc",
+        "https://x.com/?client_metadata.session=%7Bclient_metadata.session%7D",
+    ),
+    # extra dynamic keys
+    (
+        "https://x.com/api?completion_point=9&max_results=10",
+        "https://x.com/api?completion_point=%7Bcompletion_point%7D&max_results=%7Bmax_results%7D",
+    ),
+    # google /search host rule: drop junk keys, keep q; drop start only when 0
+    (
+        "https://www.google.co.uk/search?q=nintendo&start=0&ved=abc&ei=xyz&oq=nin",
+        "https://www.google.co.uk/search?q=nintendo",
+    ),
+    (
+        "https://www.google.com/search?q=n&start=10&sa=X",
+        "https://www.google.com/search?q=n&start=10",
+    ),
+    # google rule only on /search path
+    ("https://www.google.com/maps?ved=abc", "https://www.google.com/maps?ved=abc"),
+    # non-volatile params preserved, order kept
+    ("https://example.com/p?b=2&a=1", "https://example.com/p?b=2&a=1"),
+    # empty path -> /
+    ("https://example.com", "https://example.com/"),
+    # host lowercased, fragment dropped
+    ("https://EXAMPLE.com/A/b#frag", "https://example.com/A/b"),
+    # scheme completion
+    ("example.com/x", "https://example.com/x"),
+    ("www.site.org/a?timestamp=7", "https://www.site.org/a?timestamp=%7Btimestamp%7D"),
+]
+
+
+def test_canonicalize_rule_table():
+    for raw, expected in CASES:
+        assert canonicalize_url(raw) == expected, raw
+
+
+def test_canonicalize_idempotent():
+    for raw, _ in CASES:
+        c = canonicalize_url(raw)
+        assert canonicalize_url(c) == c
+
+
+def test_canonicalize_garbage():
+    assert canonicalize_url("") is None
+    assert canonicalize_url(None) is None
+    assert canonicalize_url("https://") is None
+
+
+def test_complete_scheme():
+    assert complete_scheme("example.com") == "https://example.com"
+    assert complete_scheme("http://a.b") == "http://a.b"
+
+
+def test_dedup_key_matches_reference_rule():
+    # sha256(base_url + goal).hexdigest()[:20] — parallel_computing_tasks.py:209-211
+    base, goal = "shop.example.com", "buy a blue stapler"
+    assert dedup_key(base, goal) == hashlib.sha256((base + goal).encode()).hexdigest()[:20]
+    assert len(dedup_key(base, goal)) == 20
+
+
+def test_url_pattern_extraction():
+    text = 'intro see https://a.example.com/x?id=1 . and www.b.org/y end "https://c.io/z"'
+    found = re.findall(URL_PATTERN, text)
+    assert found == ["https://a.example.com/x?id=1", "www.b.org/y", "https://c.io/z"]
+
+
+def test_spark_udf_matches_python(spark):
+    from pyspark.sql import functions as F
+    from warc_bench_spark.functions.urls import canonicalize_udf, url_hash_col
+
+    raws = [r for r, _ in CASES]
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    out = (
+        df.withColumn("canonical", canonicalize_udf("raw"))
+        .withColumn("h", url_hash_col(F.col("canonical")))
+        .collect()
+    )
+    for row in out:
+        expected = canonicalize_url(row["raw"])
+        assert row["canonical"] == expected
+        assert row["h"] == sha256_hex(expected)

@@ -1,0 +1,157 @@
+"""URL canonicalization, hashing and extraction (SURVEY.md §2.3, C1-C4).
+
+``canonicalize_url`` reimplements — from scratch, in Python — the volatile
+query-parameter rewriting behavior of the reference's ``normalizeUrl``
+(``/root/reference/src/orby/subtask_benchmark/webreplay-standalone/src/libs/
+warc/utils.ts:12-93``):
+
+* params ``timestamp, amp;timestamp, width, height, r, _`` have their values
+  replaced with the placeholder ``{key}``;
+* any param whose key starts with ``viewport.`` or ``client_metadata.`` is
+  likewise placeholder-substituted;
+* params ``completion_point, entry_point, max_results,
+  suppress_result_types`` likewise;
+* on hosts containing ``google`` with path exactly ``/search``, the params
+  ``source iflsig uact gs_lp sclient sca_esv sei ei sa oq sstk ved biw bih
+  dpr`` are dropped, and ``start`` is dropped only when its value is ``0``;
+* otherwise param order is preserved; host/scheme are lowercased; an empty
+  path becomes ``/`` (JS ``URL`` behavior).
+
+``complete_scheme`` mirrors the start-URL derivation of
+``/root/reference/src/orby/trajectory_collector/ray_scripts/
+parallel_computing_tasks.py:199-208``: a scheme-less URL gets ``https://``.
+
+``sha256_hex`` / the 20-hex dedup-key convention mirrors
+``parallel_computing_tasks.py:209-211``
+(``sha256(base_url + goal).hexdigest()[:20]``).
+
+The Spark-side entry points are Arrow-vectorized pandas UDFs
+(``canonicalize_udf``) — batched columnar transfer, no row-at-a-time Python
+UDF — plus pure built-in column expressions for hashing (``sha2``) and
+extraction (``regexp_extract_all``), which stay entirely JVM-side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import parse_qsl, quote, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+VOLATILE_KEYS = frozenset({"timestamp", "amp;timestamp", "width", "height", "r", "_"})
+VOLATILE_PREFIXES = ("viewport.", "client_metadata.")
+VOLATILE_EXTRA = frozenset(
+    {"completion_point", "entry_point", "max_results", "suppress_result_types"}
+)
+GOOGLE_SEARCH_DROP = frozenset(
+    "source iflsig uact gs_lp sclient sca_esv sei ei sa oq sstk ved biw bih dpr".split()
+)
+
+# URLs are extracted from text spans with this pattern (same regex dialect
+# subset works in Java/Spark, Python and DuckDB).
+URL_PATTERN = r"(?:https?://|www\.)[^\s<>\"']+"
+
+DEDUP_KEY_LEN = 20  # mirrors TRAJECTORY_DATA_FINGERPRINT_LENGTH usage
+
+
+def complete_scheme(url: str) -> str:
+    """Scheme-less URL -> https:// URL (parallel_computing_tasks.py:199-208)."""
+    if "://" not in url:
+        return "https://" + url
+    return url
+
+
+def canonicalize_url(url: str) -> str | None:
+    """Canonical form of one URL; None if unparseable. Pure + deterministic."""
+    if not url:
+        return None
+    url = complete_scheme(url.strip())
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    netloc = host
+    if parts.port is not None:
+        netloc = f"{host}:{parts.port}"
+    path = parts.path or "/"
+    google_search = "google" in host and path == "/search"
+
+    out_pairs: list[str] = []
+    for k, v in parse_qsl(parts.query, keep_blank_values=True):
+        if google_search and (k in GOOGLE_SEARCH_DROP or (k == "start" and v == "0")):
+            continue
+        if (
+            k in VOLATILE_KEYS
+            or k in VOLATILE_EXTRA
+            or k.startswith(VOLATILE_PREFIXES)
+        ):
+            v = "{%s}" % k
+        # JS URLSearchParams.toString() percent-encodes braces, so the
+        # {key} placeholders serialize as %7Bkey%7D — mirror that.
+        out_pairs.append(quote(k, safe="") + "=" + quote(v, safe=""))
+    query = "&".join(out_pairs)
+    # fragments are navigation-internal; a crawler's URL identity drops them
+    return urlunsplit((parts.scheme.lower(), netloc, path, query, ""))
+
+
+def sha256_hex(s: str) -> str:
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()
+
+
+def dedup_key(base_url: str, goal: str) -> str:
+    """sha256(base_url + goal)[:20] — parallel_computing_tasks.py:209-211."""
+    return sha256_hex(base_url + goal)[:DEDUP_KEY_LEN]
+
+
+def url_host(canonical_url: str) -> str:
+    return urlsplit(canonical_url).netloc
+
+
+def url_path(canonical_url: str) -> str:
+    return urlsplit(canonical_url).path or "/"
+
+
+# --------------------------------------------------------------------------
+# Spark-side (Arrow-vectorized)
+# --------------------------------------------------------------------------
+
+@pandas_udf(StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    """Arrow-batched canonicalization (the C1+C2 vectorized UDF)."""
+    return urls.map(lambda u: canonicalize_url(u) if u is not None else None)
+
+
+@pandas_udf(StringType())
+def host_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: urlsplit(u).netloc if u else None)
+
+
+@pandas_udf(StringType())
+def path_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: (urlsplit(u).path or "/") if u else None)
+
+
+def url_hash_col(canonical: Column) -> Column:
+    """Full sha256 hex of the canonical URL — JVM built-in, no Python."""
+    return F.sha2(canonical, 256)
+
+
+def url_hash64_col(hash_hex: Column) -> Column:
+    """Deterministic 60-bit int from the sha256 hex prefix.
+
+    Matches ``int(hash_hex[:15], 16)`` on the Python side (used by Bloom
+    shards and salting so engine and simulator agree bit-for-bit).
+    """
+    return F.conv(F.substring(hash_hex, 1, 15), 16, 10).cast("long")
+
+
+def extract_urls_col(text: Column) -> Column:
+    """All URL-shaped tokens in a text column — JVM regexp, no Python."""
+    return F.regexp_extract_all(text, F.lit(URL_PATTERN), 0)

@@ -1,0 +1,268 @@
+"""The crawl engine: wave loop over snapshot-committed frontier state.
+
+Spark re-expression of the reference crawl pipeline (SURVEY.md §3.1,
+``/root/reference/src/orby/trajectory_collector/ray_scripts/
+parallel_computing_controller.py:239-282`` — schedule batch, barrier, write,
+next). One wave =
+
+    frontier ──anti-join seen (Bloom prefilter)──▶ candidates
+             ──robots broadcast join + per-host virtual-time schedule──▶
+             ──total order (vt, priority, url_hash), take budget──▶ admitted
+    admitted ──▶ crawl_log Δ, url_seen Δ
+    admitted ⋈ pages ⋈ documents ──explode spans, extract+canonicalize──▶
+             new frontier rows (first discovery wins)
+    one atomic snapshot commit (frontier replace + log/seen/metrics append)
+
+Determinism: every step is a pure function of (corpus, config); the final
+order comes only from the explicit sort keys, so partition counts and skew
+salting cancel out (SURVEY.md §7.3) — verified by the local[2]-vs-local[32]
+and plain-vs-split tests.
+
+Resume: `run()` always starts from the latest committed snapshot; a kill
+between commits replays at most one wave's work and can never re-fetch a URL
+recorded in url_seen (the D1 "skip existing" semantics of
+``parallel_computing_tasks.py:213-220`` lifted to snapshot level).
+
+Scale notes (100 TB / 10^10-URL design point):
+* frontier and url_seen are hash-partitioned on url_hash at write time so
+  the per-wave anti-join is a co-partitioned shuffle; with Iceberg both
+  sides would be bucketed on url_hash making it shuffle-free.
+* the admitted set is bounded by the politeness budget, so the global sort
+  is a TakeOrderedAndProject (top-B), never a full sort of the frontier.
+* the only Python in the hot path is the Arrow-vectorized canonicalizer and
+  the Bloom probe; scheduling, hashing, extraction, joins are all JVM.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..functions.urls import canonicalize_udf, url_hash_col
+from ..state import SnapshotStore
+from .dedup import not_seen_bloom, not_seen_exact
+from .extract import extract_outlinks
+from .politeness import schedule_wave
+
+FRONTIER_COLS = ["url_hash", "canonical_url", "host", "priority", "discovered_wave"]
+
+
+@dataclass
+class WaveStats:
+    wave: int
+    admitted: int
+    new_urls: int
+    frontier_left: int
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        corpus_dir: str,
+        state_dir: str,
+        use_bloom: bool = True,
+        force_rank: str | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.use_bloom = use_bloom
+        self.force_rank = force_rank
+        self.store = SnapshotStore(state_dir)
+        self.pages = spark.read.parquet(os.path.join(corpus_dir, "pages"))
+        self.documents = spark.read.parquet(os.path.join(corpus_dir, "documents"))
+        self.seeds = spark.read.parquet(os.path.join(corpus_dir, "seeds"))
+        self.robots = spark.read.parquet(os.path.join(corpus_dir, "robots"))
+
+    # ------------------------------------------------------------------ utils
+
+    def _with_url_identity(self, df: DataFrame, url_col: str) -> DataFrame:
+        """raw url column -> canonical_url, url_hash, host (C1+C2+C3)."""
+        return (
+            df.withColumn("canonical_url", canonicalize_udf(F.col(url_col)))
+            .filter(F.col("canonical_url").isNotNull())
+            .withColumn("url_hash", url_hash_col(F.col("canonical_url")))
+            .withColumn("host", F.parse_url("canonical_url", F.lit("HOST")))
+        )
+
+    def _robots_allowed(self, df: DataFrame) -> DataFrame:
+        """Drop robots-disallowed URLs (broadcast dimension join, J6)."""
+        rules = self.robots.select("host", "disallow_prefixes")
+        with_rules = df.join(F.broadcast(rules), "host", "left")
+        path = F.parse_url("canonical_url", F.lit("PATH"))
+        blocked = F.exists(
+            "disallow_prefixes", lambda p: path.startswith(p)
+        )
+        return with_rules.filter(
+            F.col("disallow_prefixes").isNull() | ~blocked
+        ).drop("disallow_prefixes")
+
+    # -------------------------------------------------------------- bootstrap
+
+    def bootstrap(self) -> None:
+        """Seed list -> wave-0 frontier snapshot (idempotent)."""
+        if self.store.latest() is not None:
+            return
+        seeded = self._with_url_identity(self.seeds, "url")
+        # one row per canonical URL, min priority wins (deterministic)
+        frontier = (
+            seeded.groupBy("url_hash", "canonical_url", "host")
+            .agg(F.min("priority").alias("priority"))
+            .withColumn("discovered_wave", F.lit(0))
+        )
+        frontier = self._robots_allowed(frontier).select(*FRONTIER_COLS)
+        empty_seen = self.spark.createDataFrame(
+            [], "url_hash string, canonical_url string, wave int"
+        )
+        empty_log = self.spark.createDataFrame(
+            [],
+            "seq long, wave int, canonical_url string, host string, vt long, priority int",
+        )
+        self.store.commit(
+            wave=0,
+            replace={"frontier": frontier.repartition(self.cfg.shuffle_partitions, "url_hash")},
+            append={"url_seen": empty_seen, "crawl_log": empty_log},
+            extra={"next_wave": 0, "seq_end": 0},
+        )
+
+    # ------------------------------------------------------------------- wave
+
+    def _run_wave(self, wave: int, seq_start: int) -> WaveStats:
+        spark, cfg = self.spark, self.cfg
+        frontier = self.store.read_table(spark, "frontier")
+        seen = self.store.read_table(spark, "url_seen")
+
+        # 1. dedup: Bloom prefilter + exact anti-join (D1/S11)
+        if self.use_bloom and seen.take(1):
+            cand = not_seen_bloom(spark, frontier, seen, cfg)
+        else:
+            cand = not_seen_exact(frontier, seen)
+
+        # 2. politeness schedule (per-host virtual time, skew-aware rank)
+        sched = schedule_wave(cand, self.robots, cfg, force=self.force_rank)
+
+        # 3. admission: top-budget of the total order; seq assignment.
+        #    budget is bounded, so this is TakeOrderedAndProject, not a full
+        #    sort; row_number over the bounded admitted set is cheap.
+        order = [F.col("vt").asc(), F.col("priority").asc(), F.col("url_hash").asc()]
+        admitted = (
+            sched.orderBy(*order)
+            .limit(cfg.budget_per_wave)
+            .withColumn("seq", F.row_number().over(Window.orderBy(*order)) + F.lit(seq_start))
+            .cache()
+        )
+        n_admitted = admitted.count()
+        if n_admitted == 0:
+            admitted.unpersist()
+            return WaveStats(wave, 0, 0, 0)
+
+        log_delta = admitted.select(
+            F.col("seq").cast("long"),
+            F.lit(wave).alias("wave"),
+            "canonical_url",
+            "host",
+            F.col("vt").cast("long"),
+            F.col("priority").cast("int"),
+        )
+        seen_delta = admitted.select(
+            "url_hash", "canonical_url", F.lit(wave).alias("wave")
+        )
+
+        # 4. fetch + expand: admitted is budget-bounded -> broadcast side
+        fetched = F.broadcast(admitted.select("canonical_url", "priority")).join(
+            self.pages.select("canonical_url", "doc_id"), "canonical_url"
+        )
+        docs = fetched.join(self.documents, "doc_id")
+        links = extract_outlinks(docs.select("doc_id", "priority", "spans"))
+        expanded = self._with_url_identity(links, "raw_url")
+        new_urls = expanded.groupBy("url_hash", "canonical_url", "host").agg(
+            (F.min("priority") + 1).alias("priority")
+        )
+        new_urls = self._robots_allowed(new_urls)
+
+        # 5. next frontier: remove admitted; add first-discovered new URLs
+        remaining = frontier.join(admitted.select("url_hash"), "url_hash", "left_anti")
+        fresh = (
+            new_urls.join(seen.select("url_hash"), "url_hash", "left_anti")
+            .join(admitted.select("url_hash"), "url_hash", "left_anti")
+            .join(remaining.select("url_hash"), "url_hash", "left_anti")
+            .withColumn("discovered_wave", F.lit(wave + 1))
+            .select(*FRONTIER_COLS)
+        )
+        next_frontier = remaining.select(*FRONTIER_COLS).unionByName(fresh)
+        next_frontier = next_frontier.repartition(
+            cfg.shuffle_partitions, "url_hash"
+        ).cache()
+        n_frontier = next_frontier.count()
+        n_new = n_frontier - (
+            frontier.count() - n_admitted
+        )
+
+        # 6. metrics + per-partition lineage (X10 analog / north-star lineage)
+        lineage = next_frontier.groupBy(
+            F.spark_partition_id().alias("partition_id")
+        ).agg(F.count(F.lit(1)).alias("rows"))
+        metrics = lineage.select(
+            F.lit(wave).alias("wave"),
+            F.lit("frontier_partition_rows").alias("metric"),
+            F.col("partition_id").cast("string").alias("key"),
+            F.col("rows").cast("long").alias("value"),
+        ).unionByName(
+            self.spark.createDataFrame(
+                [
+                    (wave, "admitted", None, n_admitted),
+                    (wave, "new_urls", None, max(n_new, 0)),
+                    (wave, "frontier_left", None, n_frontier),
+                ],
+                "wave int, metric string, key string, value long",
+            )
+        )
+
+        # 7. atomic snapshot commit (frontier replace, the rest append)
+        self.store.commit(
+            wave=wave + 1,
+            replace={"frontier": next_frontier},
+            append={"url_seen": seen_delta, "crawl_log": log_delta, "metrics": metrics},
+            extra={"next_wave": wave + 1, "seq_end": seq_start + n_admitted},
+        )
+        admitted.unpersist()
+        next_frontier.unpersist()
+        return WaveStats(wave, n_admitted, max(n_new, 0), n_frontier)
+
+    # -------------------------------------------------------------------- run
+
+    def run(self, max_waves: int | None = None) -> list[WaveStats]:
+        """Run (or resume) until the frontier drains or the wave cap hits."""
+        self.bootstrap()
+        cap = max_waves if max_waves is not None else self.cfg.max_waves
+        stats: list[WaveStats] = []
+        while True:
+            manifest = self.store.latest()
+            wave = manifest["next_wave"]
+            if wave >= cap:
+                break
+            frontier = self.store.read_table(self.spark, "frontier")
+            if frontier is None or not frontier.take(1):
+                break
+            s = self._run_wave(wave, manifest["seq_end"])
+            stats.append(s)
+            if s.admitted == 0:
+                break
+        return stats
+
+    # ---------------------------------------------------------------- readers
+
+    def crawl_log(self) -> DataFrame:
+        df = self.store.read_table(self.spark, "crawl_log")
+        return df.orderBy("seq") if df is not None else None
+
+    def url_seen(self) -> DataFrame:
+        return self.store.read_table(self.spark, "url_seen")
+
+    def metrics(self) -> DataFrame:
+        return self.store.read_table(self.spark, "metrics")

@@ -1,0 +1,129 @@
+"""URL-seen deduplication: Bloom-shard prefilter + exact anti-join.
+
+The reference's URL-seen set is the S3 keyspace itself, probed with per-URL
+HEAD requests (``/root/reference/src/orby/digitalagent/utils/s3_utils.py:
+152-180``, used at ``parallel_computing_tasks.py:213-220``). That check is
+**exact**, so ours must be too (SURVEY.md §7.4 item 4): the Bloom shards are
+only ever a prefilter that lets the vast majority of genuinely-new URLs skip
+the shuffle of the anti-join; the ``left_anti`` join against the ``url_seen``
+table is always the authoritative answer for URLs the Bloom flags.
+
+    new = candidates ⟕̸ url_seen            (exact, always correct)
+        = candidates[¬bloom]  ∪  candidates[bloom] ⟕̸ url_seen
+
+A Bloom false positive only costs one extra row through the anti-join; a
+false negative is impossible by construction, so no unseen URL is ever
+dropped and no seen URL ever re-admitted.
+
+Shards are partitioned by ``hash64 % n_shards`` and broadcast as a dict of
+numpy bitmaps; the probe is an Arrow-vectorized pandas UDF. Bit positions
+use double hashing: pos_i = (h1 + i*h2) mod m with h1, h2 taken from
+disjoint slices of the sha256 hex — deterministic across engine runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from ..config import CrawlConfig
+
+
+def _h1h2(url_hash_hex: str) -> tuple[int, int]:
+    h1 = int(url_hash_hex[:15], 16)
+    h2 = int(url_hash_hex[15:30], 16) | 1
+    return h1, h2
+
+
+def not_seen_exact(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """The authoritative dedup: left anti join on url_hash (D1/S11)."""
+    return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
+
+
+def build_bloom_shards(seen: DataFrame, cfg: CrawlConfig) -> dict[int, bytes]:
+    """Aggregate url_seen into n_shards bitmap blobs (one groupBy pass)."""
+    m = cfg.bloom_bits_per_shard
+    k = cfg.bloom_hashes
+    n_shards = cfg.bloom_shards
+
+    def _build(pdf_iter):
+        for pdf in [pdf_iter] if isinstance(pdf_iter, pd.DataFrame) else pdf_iter:
+            yield pdf
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        hexes = pdf["url_hash"]
+        h1 = hexes.str.slice(0, 15).apply(lambda s: int(s, 16)).to_numpy(dtype=np.uint64)
+        h2 = (
+            hexes.str.slice(15, 30).apply(lambda s: int(s, 16)).to_numpy(dtype=np.uint64)
+            | np.uint64(1)
+        )
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(bits, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8))
+        return pd.DataFrame(
+            {"shard": [int(pdf["_shard"].iloc[0])], "bitmap": [bits.tobytes()]}
+        )
+
+    sharded = seen.select("url_hash").withColumn(
+        "_shard",
+        (F.conv(F.substring("url_hash", 1, 15), 16, 10).cast("long") % n_shards).cast("int"),
+    )
+    rows = (
+        sharded.groupBy("_shard")
+        .applyInPandas(build_shard, "shard int, bitmap binary")
+        .collect()
+    )
+    return {r["shard"]: r["bitmap"] for r in rows}
+
+
+def bloom_maybe_udf(spark: SparkSession, shards: dict[int, bytes], cfg: CrawlConfig):
+    """Vectorized membership probe against broadcast shards."""
+    m = cfg.bloom_bits_per_shard
+    k = cfg.bloom_hashes
+    n_shards = cfg.bloom_shards
+    arrays = {s: np.frombuffer(b, dtype=np.uint8) for s, b in shards.items()}
+    bshards = spark.sparkContext.broadcast(arrays)
+
+    @pandas_udf(BooleanType())
+    def maybe_seen(hexes: pd.Series) -> pd.Series:
+        local = bshards.value
+        h1 = hexes.str.slice(0, 15).apply(lambda s: int(s, 16)).to_numpy(dtype=np.uint64)
+        h2 = (
+            hexes.str.slice(15, 30).apply(lambda s: int(s, 16)).to_numpy(dtype=np.uint64)
+            | np.uint64(1)
+        )
+        shard_ids = (h1 % np.uint64(n_shards)).astype(np.int64)
+        out = np.zeros(len(hexes), dtype=bool)
+        for sid in np.unique(shard_ids):
+            bits = local.get(int(sid))
+            sel = shard_ids == sid
+            if bits is None:
+                continue  # empty shard -> definitely unseen
+            ok = np.ones(sel.sum(), dtype=bool)
+            hh1, hh2 = h1[sel], h2[sel]
+            for i in range(k):
+                pos = (hh1 + np.uint64(i) * hh2) % np.uint64(m)
+                ok &= (bits[(pos // 8).astype(np.int64)] >> (pos % 8).astype(np.uint8)) & 1 == 1
+            out[sel] = ok
+        return pd.Series(out)
+
+    return maybe_seen
+
+
+def not_seen_bloom(
+    spark: SparkSession, candidates: DataFrame, seen: DataFrame, cfg: CrawlConfig
+) -> DataFrame:
+    """Bloom prefilter + exact anti-join for the flagged residue."""
+    shards = build_bloom_shards(seen, cfg)
+    if not shards:
+        return candidates
+    maybe = bloom_maybe_udf(spark, shards, cfg)
+    flagged = candidates.withColumn("_maybe", maybe(F.col("url_hash")))
+    fresh = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    residue = not_seen_exact(flagged.filter(F.col("_maybe")).drop("_maybe"), seen)
+    return fresh.unionByName(residue)

@@ -1,0 +1,132 @@
+"""Per-host politeness scheduling with explicit skew splitting.
+
+This is the Spark re-expression of the reference's sliding-window rate
+limiter (``/root/reference/src/orby/trajectory_collector/ray_scripts/
+frequency_limiter.py:24-47`` — a mutable deque actor consulted before every
+fetch) as **data**, in deterministic virtual time (SURVEY.md §7.4 item 1):
+
+    the k-th URL of host h in a wave (k over per-host order
+    (priority asc, url_hash asc)) gets
+    vt = max(k * crawl_delay_ms(h), floor(k / window_limit) * window_ms)
+
+Everything here is JVM-side column arithmetic — no Python at all in this
+operator (stricter than the north star's "vectorized Arrow UDFs only").
+
+Skew (north rule: "host-hash salted partitioning with explicit skew
+splitting for hot domains"): a per-host ``row_number`` window puts an entire
+host's pending URLs into one task; a hot domain with 10^7 pending URLs would
+straggle or OOM. ``rank_in_host`` therefore has two physical strategies with
+identical results:
+
+* ``plain``  — one window over ``partitionBy(host)``; fine for cold hosts.
+* ``split``  — two-phase ranking for hot hosts: rows are range-split by the
+  first hex nibble of ``url_hash`` (lowercase-hex string order == numeric
+  order, so the split is **order-compatible** with the per-host sort key and
+  uniformly balanced because the key is a sha256). Local ranks are computed
+  per (host, priority, nibble) slice; slice sizes are aggregated into a tiny
+  offsets table (cumulative count over (priority, nibble) within host) and
+  broadcast-joined back. Global per-host rank = slice offset + local rank.
+
+``schedule_wave`` picks the strategy per wave from the host histogram
+(hot = pending count > cfg.hot_host_threshold) and handles both populations
+in one pass: hot hosts through the split path, the long tail through the
+plain window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+
+HOST_ORDER = ["priority", "url_hash"]  # per-host total order (url_hash unique)
+
+
+def _salt_col() -> Column:
+    # first hex nibble of the sha256 — an order-compatible range split
+    return F.substring("url_hash", 1, 1)
+
+
+def rank_in_host_plain(df: DataFrame) -> DataFrame:
+    w = Window.partitionBy("host").orderBy(*HOST_ORDER)
+    return df.withColumn("k", F.row_number().over(w) - F.lit(1))
+
+
+def rank_in_host_split(df: DataFrame) -> DataFrame:
+    """Two-phase skew-safe per-host ranking (see module docstring)."""
+    salted = df.withColumn("_salt", _salt_col())
+    w_local = Window.partitionBy("host", "priority", "_salt").orderBy("url_hash")
+    local = salted.withColumn("_lrank", F.row_number().over(w_local))
+
+    # tiny per-slice histogram -> exclusive running offset within each host
+    counts = salted.groupBy("host", "priority", "_salt").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w_off = (
+        Window.partitionBy("host")
+        .orderBy("priority", "_salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).drop("_n")
+
+    return (
+        local.join(F.broadcast(offsets), ["host", "priority", "_salt"])
+        .withColumn("k", (F.col("_off") + F.col("_lrank") - F.lit(1)).cast("long"))
+        .drop("_salt", "_lrank", "_off")
+    )
+
+
+def rank_in_host(df: DataFrame, cfg: CrawlConfig, force: str | None = None) -> DataFrame:
+    """Rank every row within its host; route hot hosts through the split path.
+
+    ``force`` pins a strategy ('plain'/'split') — used by the equivalence
+    test; production picks per-host from the pending histogram.
+    """
+    if force == "plain":
+        return rank_in_host_plain(df)
+    if force == "split":
+        return rank_in_host_split(df)
+
+    hist = df.groupBy("host").agg(F.count(F.lit(1)).alias("_pending"))
+    hot = hist.filter(F.col("_pending") > cfg.hot_host_threshold).select("host")
+    if not hot.take(1):
+        return rank_in_host_plain(df)
+    flagged = df.join(F.broadcast(hot.withColumn("_hot", F.lit(True))), "host", "left")
+    hot_part = rank_in_host_split(flagged.filter(F.col("_hot").isNotNull())).drop("_hot")
+    cold_part = rank_in_host_plain(flagged.filter(F.col("_hot").isNull())).drop("_hot")
+    return hot_part.unionByName(cold_part)
+
+
+def with_virtual_time(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """vt = max(k*delay, floor(k/L)*W) — pure column arithmetic (W5 lift)."""
+    return df.withColumn(
+        "vt",
+        F.greatest(
+            F.col("k") * F.col("crawl_delay_ms").cast("long"),
+            (F.floor(F.col("k") / cfg.window_limit) * cfg.window_ms).cast("long"),
+        ),
+    )
+
+
+def schedule_wave(
+    candidates: DataFrame,
+    robots: DataFrame,
+    cfg: CrawlConfig,
+    force: str | None = None,
+) -> DataFrame:
+    """Candidates (canonical_url, url_hash, host, priority, ...) -> + (k, vt).
+
+    Robots join is a broadcast dimension lookup (the J6 pattern,
+    ``subtask_benchmark/utils/utils.py:31-37``); the crawl-delay default
+    mirrors the reference's global limiter constants.
+    """
+    delays = robots.select("host", "crawl_delay_ms")
+    with_delay = candidates.join(F.broadcast(delays), "host", "left").withColumn(
+        "crawl_delay_ms",
+        F.coalesce(F.col("crawl_delay_ms"), F.lit(cfg.default_delay_ms)),
+    )
+    ranked = rank_in_host(with_delay, cfg, force=force)
+    return with_virtual_time(ranked, cfg).drop("crawl_delay_ms")

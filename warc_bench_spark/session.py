@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+Local sessions are tuned for the sandbox (single JVM, ``local[N]``), but the
+configuration is the one we would ship on a real cluster: AQE on (runtime
+coalesce + skew-join splitting), Arrow on (every pandas UDF crosses the
+JVM/Python boundary in columnar batches, never per row).
+
+Iceberg note (SURVEY.md §7.0): the sandbox has no Iceberg runtime jar and no
+network to fetch one, so table state uses the snapshot-manifest layer in
+``state.py`` which implements the same contract (atomic multi-table wave
+commits, resume from the latest committed snapshot). On a real cluster set
+``SPARK_GRAFT_ICEBERG=1`` after adding
+``org.apache.iceberg:iceberg-spark-runtime-*`` to ``spark.jars.packages``;
+``state.py`` documents the 1:1 mapping.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _package_zip() -> str:
+    """Zip warc_bench_spark for worker shipment — the local analog of
+    ``spark-submit --py-files`` (the north rule's deployment mode). Python
+    workers deserialize our pandas UDFs and must import this package."""
+    out = os.path.join(tempfile.gettempdir(), "warc_bench_spark_pyfiles.zip")
+    pkg = os.path.join(_PKG_ROOT, "warc_bench_spark")
+    with zipfile.ZipFile(out, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, _PKG_ROOT))
+    return out
+
+
+def get_spark(
+    app_name: str = "warc-bench-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.addPyFile(_package_zip())
+    return spark
