@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from warc_bench_spark.plans.relational import REGISTRY  # noqa: E402
+import warc_bench_spark.plans.similarity_text  # noqa: E402,F401  (extends REGISTRY)
+import warc_bench_spark.plans.relational2  # noqa: E402,F401  (extends REGISTRY)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,81 @@
+"""Physical-plan hygiene audit (SURVEY.md §4): predicate pushdown reaches
+the parquet scans, small dimensions broadcast, Python crosses the boundary
+only as Arrow-vectorized eval (never row-at-a-time), and scans prune
+columns."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from warc_bench_spark.plans.relational import REGISTRY
+
+    df = REGISTRY["q01_pricing_summary"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_column_pruning(spark):
+    from warc_bench_spark.plans.relational import REGISTRY
+
+    df = REGISTRY["q17_sha_dedup_key"].fn(spark, SF)
+    plan = plan_of(df)
+    # scan must read only doc_id+text, not the whole documents schema
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "n_chars" not in read
+
+
+def test_dimension_join_broadcasts(spark):
+    from warc_bench_spark.plans.relational import REGISTRY
+
+    plan = plan_of(REGISTRY["q02_revenue_by_nation"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_canonicalize_is_arrow_vectorized(spark):
+    from warc_bench_spark.functions.urls import canonicalize_udf
+
+    df = spark.range(10).select(
+        canonicalize_udf(F.concat(F.lit("https://x.com/"), F.col("id").cast("string")))
+    )
+    plan = plan_of(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python is forbidden
+
+
+def test_schedule_kernel_plan(spark):
+    """The politeness schedule: robots joins broadcast; whole-stage codegen
+    present around the JVM column arithmetic."""
+    from warc_bench_spark.config import CrawlConfig
+    from warc_bench_spark.operators.frontier_gen import synthetic_frontier
+    from warc_bench_spark.operators.politeness import schedule_wave
+    from warc_bench_spark.functions.urls import canonicalize_udf, url_hash_col
+
+    cfg = CrawlConfig()
+    frontier = (
+        synthetic_frontier(spark, 1000, n_hosts=50)
+        .withColumn("canonical_url", canonicalize_udf("url"))
+        .filter(F.col("canonical_url").isNotNull())
+        .withColumn("url_hash", url_hash_col(F.col("canonical_url")))
+        .withColumn("host", F.parse_url("canonical_url", F.lit("HOST")))
+        .select("url_hash", "canonical_url", "host", "priority")
+    )
+    robots = spark.createDataFrame(
+        [("host00001.bench.example.com", 500)], "host string, crawl_delay_ms int"
+    )
+    sched = schedule_wave(frontier, robots, cfg)
+    plan = plan_of(sched)
+    assert "BroadcastHashJoin" in plan
+    sched.collect()  # finalize the adaptive plan so codegen spans are visible
+    final = plan_of(sched)
+    assert "WholeStageCodegen" in final or "isFinalPlan=true" in final

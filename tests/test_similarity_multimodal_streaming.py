@@ -1,0 +1,124 @@
+"""Engine-side tests for ANN, multimodal plumbing, and streaming."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _numpy_topk(vectors: dict, probe: np.ndarray, k: int):
+    sims = {
+        vid: float(np.dot(v, probe) / (np.linalg.norm(v) * np.linalg.norm(probe)))
+        for vid, v in vectors.items()
+    }
+    return sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_brute_force_knn_matches_numpy(spark, emb):
+    from warc_bench_spark.operators.similarity import brute_force_knn
+
+    rows = emb.collect()
+    vectors = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    probe_vec = vectors[7]
+    probes = spark.createDataFrame(
+        [(7, [float(x) for x in probe_vec])], "probe_id long, probe_vec array<double>"
+    )
+    got = brute_force_knn(emb, probes, k=5).collect()
+    want = _numpy_topk({k: v for k, v in vectors.items()}, probe_vec, 5)
+    assert [(r["vec_id"], round(r["cosine"], 9)) for r in got] == [
+        (vid, round(s, 9)) for vid, s in want
+    ]
+
+
+def test_lsh_knn_bucket_recall(spark, emb):
+    """LSH is approximate: assert the probe finds itself (same bucket, cos=1)
+    and every returned neighbor shares the probe's bucket signature."""
+    from warc_bench_spark.operators.similarity import hyperplanes, lsh_knn, signature_col
+
+    probe_row = emb.filter(F.col("vec_id") == 3).first()
+    probes = spark.createDataFrame(
+        [(3, [float(x) for x in probe_row["embedding"]])],
+        "probe_id long, probe_vec array<double>",
+    )
+    got = lsh_knn(emb, probes, k=5, n_bits=6, seed=1, dim=64).collect()
+    assert got, "probe bucket empty"
+    assert got[0]["vec_id"] == 3 and abs(got[0]["cosine"] - 1.0) < 1e-9
+
+    planes = hyperplanes(64, 6, seed=1)
+    sigs = {
+        r["vec_id"]: r["b"]
+        for r in emb.select("vec_id", signature_col(F.col("embedding"), planes).alias("b")).collect()
+    }
+    probe_sig = sigs[3]
+    for r in got:
+        assert sigs[r["vec_id"]] == probe_sig
+
+
+def test_multimodal_plumbing(spark):
+    from warc_bench_spark.config import CrawlConfig
+    from warc_bench_spark.operators.multimodal import (
+        decode_media_meta,
+        extract_media_features,
+        sample_frames,
+    )
+    from warc_bench_spark.synth import documents_df, generate_corpus
+
+    corpus = generate_corpus(CrawlConfig(seed=3, n_urls=200, n_hosts=8))
+    docs = documents_df(spark, corpus)
+
+    meta = decode_media_meta(docs)
+    m = meta.collect()
+    n_media = sum(
+        1 for spans in corpus.documents.values() for s in spans if s[0] == "media"
+    )
+    assert len(m) == n_media
+    assert all(r["width"] >= 64 and r["height"] >= 64 for r in m)
+
+    feats = extract_media_features(docs).collect()
+    assert len(feats) == n_media
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # deterministic: same ref -> same feature
+    by_ref = {}
+    for r in feats:
+        if r["media_ref"] in by_ref:
+            assert by_ref[r["media_ref"]] == r["feature"]
+        by_ref[r["media_ref"]] = r["feature"]
+
+    frames = sample_frames(meta, every_n=30)
+    fr = frames.collect()
+    vids = [r for r in m if r["media_type"] == "video/mp4"]
+    if vids:
+        assert len(fr) == sum(1 + (v["n_frames"] - 1) // 30 for v in vids)
+
+    # the 'real' backend stubs loudly instead of silently faking
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        decode_media_meta(docs, backend="real").collect()
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from warc_bench_spark.streaming.windowed import (
+        windowed_event_counts_batch,
+        windowed_event_counts_stream,
+    )
+
+    events_dir = f"{SF}/events.parquet"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    windowed_event_counts_stream(spark, events_dir, ckpt, out)
+
+    got = spark.read.parquet(out)
+    batch = windowed_event_counts_batch(spark, events_dir)
+    # append mode emits only watermark-closed windows; every emitted window
+    # must match the batch result exactly, and most windows must be emitted
+    key = lambda r: (r["window_start"], r["event_type"])
+    batch_map = {key(r): r["n"] for r in batch.collect()}
+    got_rows = got.collect()
+    assert len(got_rows) >= 0.5 * len(batch_map)
+    for r in got_rows:
+        assert batch_map[key(r)] == r["n"]

@@ -116,6 +116,8 @@ class CrawlEngine:
             .withColumn("discovered_wave", F.lit(0))
         )
         frontier = self._robots_allowed(frontier).select(*FRONTIER_COLS)
+        frontier = frontier.repartition(self.cfg.shuffle_partitions, "url_hash").cache()
+        n0 = frontier.count()
         empty_seen = self.spark.createDataFrame(
             [], "url_hash string, canonical_url string, wave int"
         )
@@ -125,26 +127,41 @@ class CrawlEngine:
         )
         self.store.commit(
             wave=0,
-            replace={"frontier": frontier.repartition(self.cfg.shuffle_partitions, "url_hash")},
+            replace={"frontier": frontier},
             append={"url_seen": empty_seen, "crawl_log": empty_log},
-            extra={"next_wave": 0, "seq_end": 0},
+            extra={"next_wave": 0, "seq_end": 0, "frontier_count": n0},
         )
+        frontier.unpersist()
 
     # ------------------------------------------------------------------- wave
 
-    def _run_wave(self, wave: int, seq_start: int) -> WaveStats:
+    def _run_wave(self, wave: int, seq_start: int, frontier_count: int) -> WaveStats:
         spark, cfg = self.spark, self.cfg
         frontier = self.store.read_table(spark, "frontier")
         seen = self.store.read_table(spark, "url_seen")
 
-        # 1. dedup: Bloom prefilter + exact anti-join (D1/S11)
+        # 1. dedup: Bloom prefilter + exact anti-join (D1/S11). Persisted:
+        #    the skew-aware rank consumes candidates twice (window + offsets
+        #    histogram), and admission reuses them — one materialization.
         if self.use_bloom and seen.take(1):
             cand = not_seen_bloom(spark, frontier, seen, cfg)
         else:
             cand = not_seen_exact(frontier, seen)
+        cand = cand.persist()
 
-        # 2. politeness schedule (per-host virtual time, skew-aware rank)
-        sched = schedule_wave(cand, self.robots, cfg, force=self.force_rank)
+        # 2. politeness schedule (per-host virtual time, skew-aware rank).
+        #    Hot-host detection reads the materialized frontier table (a
+        #    pruned column scan), never the candidate pipeline — see
+        #    rank_in_host's docstring.
+        hot_hosts = (
+            frontier.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("_pending"))
+            .filter(F.col("_pending") > cfg.hot_host_threshold)
+            .select("host")
+        )
+        sched = schedule_wave(
+            cand, self.robots, cfg, force=self.force_rank, hot_hosts=hot_hosts
+        )
 
         # 3. admission: top-budget of the total order; seq assignment.
         #    budget is bounded, so this is TakeOrderedAndProject, not a full
@@ -159,6 +176,7 @@ class CrawlEngine:
         n_admitted = admitted.count()
         if n_admitted == 0:
             admitted.unpersist()
+            cand.unpersist()
             return WaveStats(wave, 0, 0, 0)
 
         log_delta = admitted.select(
@@ -199,9 +217,7 @@ class CrawlEngine:
             cfg.shuffle_partitions, "url_hash"
         ).cache()
         n_frontier = next_frontier.count()
-        n_new = n_frontier - (
-            frontier.count() - n_admitted
-        )
+        n_new = n_frontier - (frontier_count - n_admitted)
 
         # 6. metrics + per-partition lineage (X10 analog / north-star lineage)
         lineage = next_frontier.groupBy(
@@ -228,10 +244,15 @@ class CrawlEngine:
             wave=wave + 1,
             replace={"frontier": next_frontier},
             append={"url_seen": seen_delta, "crawl_log": log_delta, "metrics": metrics},
-            extra={"next_wave": wave + 1, "seq_end": seq_start + n_admitted},
+            extra={
+                "next_wave": wave + 1,
+                "seq_end": seq_start + n_admitted,
+                "frontier_count": n_frontier,
+            },
         )
         admitted.unpersist()
         next_frontier.unpersist()
+        cand.unpersist()
         return WaveStats(wave, n_admitted, max(n_new, 0), n_frontier)
 
     # -------------------------------------------------------------------- run
@@ -246,10 +267,13 @@ class CrawlEngine:
             wave = manifest["next_wave"]
             if wave >= cap:
                 break
-            frontier = self.store.read_table(self.spark, "frontier")
-            if frontier is None or not frontier.take(1):
+            n_frontier = manifest.get("frontier_count")
+            if n_frontier is None:  # manifest from an older layout
+                f = self.store.read_table(self.spark, "frontier")
+                n_frontier = f.count() if f is not None else 0
+            if n_frontier == 0:
                 break
-            s = self._run_wave(wave, manifest["seq_end"])
+            s = self._run_wave(wave, manifest["seq_end"], n_frontier)
             stats.append(s)
             if s.admitted == 0:
                 break

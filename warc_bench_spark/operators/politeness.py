@@ -53,9 +53,14 @@ def rank_in_host_plain(df: DataFrame) -> DataFrame:
     return df.withColumn("k", F.row_number().over(w) - F.lit(1))
 
 
-def rank_in_host_split(df: DataFrame) -> DataFrame:
-    """Two-phase skew-safe per-host ranking (see module docstring)."""
-    salted = df.withColumn("_salt", _salt_col())
+def _rank_two_phase(salted: DataFrame) -> DataFrame:
+    """Two-phase per-host ranking over a pre-salted frame (module docstring).
+
+    One big shuffle (window over (host, priority, _salt)) + a tiny offsets
+    aggregate broadcast back. At extreme host cardinality the offsets join
+    would switch from broadcast to a co-partitioned shuffle join — same
+    logical plan.
+    """
     w_local = Window.partitionBy("host", "priority", "_salt").orderBy("url_hash")
     local = salted.withColumn("_lrank", F.row_number().over(w_local))
 
@@ -79,25 +84,50 @@ def rank_in_host_split(df: DataFrame) -> DataFrame:
     )
 
 
-def rank_in_host(df: DataFrame, cfg: CrawlConfig, force: str | None = None) -> DataFrame:
+def rank_in_host_split(df: DataFrame) -> DataFrame:
+    """Every host range-split by the hash nibble (the all-hot case)."""
+    return _rank_two_phase(df.withColumn("_salt", _salt_col()))
+
+
+def rank_in_host(
+    df: DataFrame,
+    cfg: CrawlConfig,
+    force: str | None = None,
+    hot_hosts: DataFrame | None = None,
+) -> DataFrame:
     """Rank every row within its host; route hot hosts through the split path.
 
     ``force`` pins a strategy ('plain'/'split') — used by the equivalence
-    test; production picks per-host from the pending histogram.
+    test. ``hot_hosts`` (a one-column ``host`` DataFrame) should come from a
+    CHEAP already-materialized source — e.g. a ``groupBy(host).count`` over
+    the frontier *table*, not over the candidate pipeline — because it is
+    evaluated as the broadcast side of the routing join; deriving it from
+    ``df`` itself would re-execute the whole upstream pipeline (UDFs,
+    anti-join) a second time. If omitted, it IS derived from ``df`` (small
+    inputs / tests only).
+
+    Routing is a single pass, not a branch: cold hosts get one degenerate
+    salt bucket (equivalent to the plain per-host rank), hot hosts get the
+    16-way range split — so the upstream pipeline (canonicalize UDF, dedup
+    anti-join) executes exactly once, and there is no driver-side action.
     """
     if force == "plain":
         return rank_in_host_plain(df)
     if force == "split":
         return rank_in_host_split(df)
 
-    hist = df.groupBy("host").agg(F.count(F.lit(1)).alias("_pending"))
-    hot = hist.filter(F.col("_pending") > cfg.hot_host_threshold).select("host")
-    if not hot.take(1):
-        return rank_in_host_plain(df)
-    flagged = df.join(F.broadcast(hot.withColumn("_hot", F.lit(True))), "host", "left")
-    hot_part = rank_in_host_split(flagged.filter(F.col("_hot").isNotNull())).drop("_hot")
-    cold_part = rank_in_host_plain(flagged.filter(F.col("_hot").isNull())).drop("_hot")
-    return hot_part.unionByName(cold_part)
+    if hot_hosts is None:
+        hot_hosts = (
+            df.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("_pending"))
+            .filter(F.col("_pending") > cfg.hot_host_threshold)
+            .select("host")
+        )
+    flag = F.broadcast(hot_hosts.select("host").withColumn("_hot", F.lit(True)))
+    salted = df.join(flag, "host", "left").withColumn(
+        "_salt", F.when(F.col("_hot").isNotNull(), _salt_col()).otherwise(F.lit("0"))
+    )
+    return _rank_two_phase(salted.drop("_hot"))
 
 
 def with_virtual_time(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
@@ -116,6 +146,7 @@ def schedule_wave(
     robots: DataFrame,
     cfg: CrawlConfig,
     force: str | None = None,
+    hot_hosts: DataFrame | None = None,
 ) -> DataFrame:
     """Candidates (canonical_url, url_hash, host, priority, ...) -> + (k, vt).
 
@@ -128,5 +159,5 @@ def schedule_wave(
         "crawl_delay_ms",
         F.coalesce(F.col("crawl_delay_ms"), F.lit(cfg.default_delay_ms)),
     )
-    ranked = rank_in_host(with_delay, cfg, force=force)
+    ranked = rank_in_host(with_delay, cfg, force=force, hot_hosts=hot_hosts)
     return with_virtual_time(ranked, cfg).drop("crawl_delay_ms")

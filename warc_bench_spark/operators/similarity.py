@@ -1,0 +1,118 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+The scale story: brute-force is the correctness baseline (O(N·P) dots, all
+JVM-side array folds — no Python). The random-hyperplane LSH variant is the
+scale path: each vector gets an n_bit signature (sign of dot with seeded
+hyperplanes); candidate pairs must share a bucket, cutting the join from
+N×P to bucket-local. Recall is tunable via n_bits / multi-probe.
+
+Everything is deterministic: hyperplanes come from a seeded numpy RNG and
+are embedded as literal arrays (broadcast by Catalyst), so signatures are a
+pure function of (vector, seed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_col(a, b) -> Column:
+    """JVM-side dot product of two array<numeric> columns (exact double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_col(a, b) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_force_knn(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Exact cosine top-k per probe. Probes are broadcast (small side)."""
+    joined = embeddings.crossJoin(F.broadcast(probes))
+    scored = joined.select(
+        probe_id_col,
+        id_col,
+        cosine_col(F.col(vec_col), F.col(probe_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(probe_id_col, "rank")
+    )
+
+
+def hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def signature_col(vec_col, planes: list[list[float]]) -> Column:
+    """n_bits LSH signature: bit j = sign(dot(vec, plane_j)) — JVM-side."""
+    bits = []
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(dot_col(vec_col, lit_plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_knn(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Approximate top-k: bucket join on the LSH signature, exact cosine
+    re-rank inside buckets. At scale the bucket join replaces the N×P
+    cross join with an equi-join Catalyst can shuffle-partition on."""
+    if dim is None:
+        dim = len(probes.select(probe_vec_col).first()[0])
+    planes = hyperplanes(dim, n_bits, seed)
+    e_sig = embeddings.withColumn("bucket", signature_col(F.col(vec_col), planes))
+    p_sig = probes.withColumn("bucket", signature_col(F.col(probe_vec_col), planes))
+    joined = e_sig.join(F.broadcast(p_sig), "bucket")
+    scored = joined.select(
+        probe_id_col,
+        id_col,
+        cosine_col(F.col(vec_col), F.col(probe_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(probe_id_col, "rank")
+    )

@@ -1,0 +1,246 @@
+"""Batch-3 oracle queries: set operations, JSON extraction, cross products,
+geometric predicates, stratified sampling — the remaining SURVEY.md §2
+operator families."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .relational import register, t
+
+
+@register(
+    "q32_config_cross_product",
+    """
+    SELECT r.r_name AS region, p.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM region r CROSS JOIN (SELECT DISTINCT p_brand FROM part) p
+    GROUP BY r.r_name, p.p_brand ORDER BY region, brand
+    """,
+)
+def q32(spark, sf_dir):
+    """X7: the benchmarks × agents × models config cross-product
+    (eval_runner.py:437-536) as crossJoin."""
+    r = t(spark, sf_dir, "region")
+    p = t(spark, sf_dir, "part").select("p_brand").distinct()
+    return (
+        r.crossJoin(p)
+        .groupBy(F.col("r_name").alias("region"), F.col("p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+        .orderBy("region", "brand")
+    )
+
+
+@register(
+    "q33_union_merge",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20
+    """,
+)
+def q33(spark, sf_dir):
+    """SE1/J7: union of per-batch result streams
+    (parallel_computing_controller.py:277-282; eval_runner.py:829)."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.filter(F.col("event_type") == "click").select("user_id").unionAll(
+        ev.filter(F.col("event_type") == "purchase").select("user_id")
+    )
+    return (
+        u.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(20)
+    )
+
+
+@register(
+    "q34_except_users",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_click_only_users FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    """,
+)
+def q34(spark, sf_dir):
+    """SE2: except / listing-minus-key (s3_utils.py:147-149)."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    errs = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return clicks.exceptAll(errs).agg(F.count(F.lit(1)).alias("n_click_only_users"))
+
+
+@register(
+    "q35_duplicate_guard",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_duplicate_keys FROM (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c
+      FROM orders GROUP BY o_custkey, d HAVING COUNT(*) > 1)
+    """,
+)
+def q35(spark, sf_dir):
+    """D6: duplicate-result guard (eval_runner.py:683-687 duplicated() →
+    raise) as groupBy-count-filter."""
+    o = t(spark, sf_dir, "orders")
+    dups = (
+        o.groupBy("o_custkey", F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    return dups.agg(F.count(F.lit(1)).alias("n_duplicate_keys"))
+
+
+@register(
+    "q36_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q36(spark, sf_dir):
+    """C18/S7: JSON-as-string parse into typed values
+    (task_completion_verifier.py:193-210; from_json/get_json_object)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).alias("total_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q37_regex_field_extract",
+    """
+    SELECT kval, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT regexp_extract(props, '"k": (\\d+)', 1) AS kval FROM events)
+    WHERE kval <> '' GROUP BY kval ORDER BY n DESC, kval LIMIT 15
+    """,
+)
+def q37(spark, sf_dir):
+    """C7/C10: quoted/tagged substring extraction via regexp_extract
+    (data_utils.py:226-239; action_parsing_utils.py:146-168)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(F.regexp_extract("props", r'"k": (\d+)', 1).alias("kval"))
+        .filter(F.col("kval") != "")
+        .groupBy("kval")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "kval")
+        .limit(15)
+    )
+
+
+@register(
+    "q38_middle_truncation",
+    """
+    SELECT doc_id,
+           CASE WHEN len(text) <= 100 THEN text
+                ELSE substr(text, 1, 50) || ' ... ' || substr(text, len(text) - 49, 50)
+           END AS truncated
+    FROM documents ORDER BY doc_id LIMIT 50
+    """,
+)
+def q38(spark, sf_dir):
+    """C12: middle-truncation of long strings
+    (data_utils.py:154-171 _keep_the_middle_part_of_string)."""
+    d = t(spark, sf_dir, "documents")
+    trunc = F.when(F.length("text") <= 100, F.col("text")).otherwise(
+        F.concat(
+            F.substring("text", 1, 50),
+            F.lit(" ... "),
+            F.col("text").substr(F.length("text") - 49, F.lit(50)),
+        )
+    )
+    return d.select("doc_id", trunc.alias("truncated")).orderBy("doc_id").limit(50)
+
+
+@register(
+    "q39_stratified_topk",
+    """
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents) WHERE rn <= 3 ORDER BY lang, n_chars DESC, doc_id
+    """,
+)
+def q39(spark, sf_dir):
+    """A12: exact stratified per-class top-k (trajectory_utils.py:21-73
+    stratified sampling, made deterministic via window ranking)."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", F.desc("n_chars"), "doc_id")
+    )
+
+
+@register(
+    "q40_point_in_bbox",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_quantity >= 10 AND l_quantity <= 40
+                          AND l_discount * 100 >= 2 AND l_discount * 100 < 8
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q40(spark, sf_dir):
+    """W6: point-in-bbox predicate as pure column arithmetic
+    (action_grounding_utils.py:132-201 within_bbox_metric)."""
+    li = t(spark, sf_dir, "lineitem")
+    inside = (
+        (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 40)
+        & (F.col("l_discount") * 100 >= 2)
+        & (F.col("l_discount") * 100 < 8)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(inside, 1).otherwise(0)).cast("long").alias("n_inside"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q41_zip_alignment",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(list_zip(a, b), p -> p[1] = p[2])) AS BIGINT) AS n_aligned,
+           CAST(len(a) AS BIGINT) AS n
+    FROM (
+      SELECT doc_id,
+             string_split(text, ' ')[1:10] AS a,
+             string_split(lower(text), ' ')[1:10] AS b
+      FROM documents) ORDER BY doc_id LIMIT 100
+    """,
+)
+def q41(spark, sf_dir):
+    """J10: element-wise GT↔prediction list alignment via zip_with
+    (executor_eval.py:460-520 _correct_bids/_correct_coordinates)."""
+    d = t(spark, sf_dir, "documents")
+    a = F.slice(F.split("text", " "), 1, 10)
+    b = F.slice(F.split(F.lower("text"), " "), 1, 10)
+    aligned = F.size(
+        F.filter(F.zip_with(a, b, lambda x, y: x.eqNullSafe(y)), lambda v: v)
+    )
+    return (
+        d.select(
+            "doc_id",
+            aligned.cast("long").alias("n_aligned"),
+            F.size(a).cast("long").alias("n"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )

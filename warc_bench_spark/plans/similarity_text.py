@@ -1,0 +1,403 @@
+"""Batch-2 oracle queries: dedup/similarity/text-analysis pipeline operators.
+
+These are the large-scale training-data-pipeline operators (exact dedup is
+in relational.py as q09): MinHash+LSH over shingles, n-gram Jaccard,
+SimHash, embedding-cosine ANN, language-ID heuristic, session windows, and
+the WARC request↔response join pipeline re-expressed relationally.
+
+Cross-engine exactness: hashes are sha256 strings (identical in Spark and
+DuckDB); set minima over strings are order-invariant; dot products cast
+float→double elementwise (exact) and fold left-to-right in both engines,
+then round(…, 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .relational import register, t
+
+NB_SIMHASH_BITS = 8
+HEXD = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------------------
+# MinHash over word-trigram shingles + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SQL = """
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       unnest(generate_series(1, len(ws) - 2)) AS t(i)
+"""
+
+
+def _shingles(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
+    idx = ws.select(
+        "doc_id", "ws", F.explode(F.sequence(F.lit(1), F.size("ws") - 2)).alias("i")
+    )
+    return idx.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at("ws", F.col("i")),
+            F.element_at("ws", F.col("i") + 1),
+            F.element_at("ws", F.col("i") + 2),
+        ).alias("shingle"),
+    )
+
+
+def _minhash_sig(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.sha2(F.concat(F.lit(f"p{i}:"), F.col("shingle")), 256)).alias(f"mh{i}")
+        for i in (1, 2, 3, 4)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_MINHASH_SIG_SQL = f"""
+  SELECT doc_id,
+         MIN(sha256('p1:' || shingle)) AS mh1,
+         MIN(sha256('p2:' || shingle)) AS mh2,
+         MIN(sha256('p3:' || shingle)) AS mh3,
+         MIN(sha256('p4:' || shingle)) AS mh4
+  FROM ({_SHINGLE_SQL}) GROUP BY doc_id
+"""
+
+
+@register(
+    "q23_shingle_minhash",
+    f"SELECT * FROM ({_MINHASH_SIG_SQL}) ORDER BY doc_id LIMIT 100",
+)
+def q23(spark, sf_dir):
+    """MinHash signatures over word-trigram shingles — the shingle→minhash
+    stage of MinHash-LSH near-dup detection (the D3 near-duplicate removal
+    of scripts/goal_filtering.py:8-100 re-expressed at web scale)."""
+    return _minhash_sig(spark, sf_dir).orderBy("doc_id").limit(100)
+
+
+@register(
+    "q24_lsh_candidate_pairs",
+    f"""
+    WITH sig AS ({_MINHASH_SIG_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b
+      ON a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.mh4 = b.mh4
+     AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q24(spark, sf_dir):
+    """LSH banding: docs agreeing on the full 4-hash band are near-dup
+    candidates (band→bucket self-join)."""
+    sig = _minhash_sig(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.mh1") == F.col("b.mh1"))
+            & (F.col("a.mh2") == F.col("b.mh2"))
+            & (F.col("a.mh3") == F.col("b.mh3"))
+            & (F.col("a.mh4") == F.col("b.mh4"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "q25_token_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 30),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q25(spark, sf_dir):
+    """Exact n-gram (token-set) Jaccard similarity for pairs, thresholded —
+    the verification stage after LSH candidate generation."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("i")
+    ).cast("double")
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash_bit_sql(b: int) -> str:
+    nib, k = 1 + b // 4, b % 4
+    return (
+        f"CASE WHEN (CAST(floor((strpos('{HEXD}', substr(h, {nib}, 1)) - 1) "
+        f"/ {2 ** k}) AS BIGINT) % 2) = 1 THEN 1 ELSE -1 END"
+    )
+
+
+@register(
+    "q26_simhash",
+    f"""
+    WITH th AS (
+      SELECT doc_id, sha256(token) AS h FROM (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> '')
+    SELECT doc_id,
+           CAST({' + '.join(f"(CASE WHEN SUM({_simhash_bit_sql(b)}) > 0 THEN {2 ** b} ELSE 0 END)" for b in range(NB_SIMHASH_BITS))} AS BIGINT) AS simhash
+    FROM th GROUP BY doc_id ORDER BY doc_id LIMIT 200
+    """,
+)
+def q26(spark, sf_dir):
+    """SimHash fingerprint: per-bit majority vote over token hashes
+    (8-bit variant; the standard near-dup sketch)."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    th = toks.select("doc_id", F.sha2("token", 256).alias("h"))
+
+    def bit_vote(b: int):
+        nib, k = 1 + b // 4, b % 4
+        v = F.instr(F.lit(HEXD), F.substring("h", nib, 1)) - 1
+        bit = F.floor(v / (2 ** k)).cast("long") % 2
+        return F.when(bit == 1, 1).otherwise(-1)
+
+    aggs = [
+        F.when(F.sum(bit_vote(b)) > 0, 2 ** b).otherwise(0).alias(f"_b{b}")
+        for b in range(NB_SIMHASH_BITS)
+    ]
+    per_doc = th.groupBy("doc_id").agg(*aggs)
+    total = sum(F.col(f"_b{b}") for b in range(NB_SIMHASH_BITS))
+    return (
+        per_doc.select("doc_id", total.cast("long").alias("simhash"))
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity (ANN baseline)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q27_embedding_knn",
+    """
+    WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+    dots AS (
+      SELECT e.vec_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(probe.p AS DOUBLE[])), 4) AS dot
+      FROM embeddings e, probe WHERE e.vec_id <> 0)
+    SELECT vec_id, dot FROM dots ORDER BY dot DESC, vec_id LIMIT 10
+    """,
+)
+def q27(spark, sf_dir):
+    """Brute-force dot-product top-k against a probe vector — the ANN
+    baseline (JVM-side zip_with/aggregate fold, no Python)."""
+    e = t(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "p", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        joined.select("vec_id", F.round(dot, 4).alias("dot"))
+        .orderBy(F.desc("dot"), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "q28_embedding_norms_by_label",
+    """
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def q28(spark, sf_dir):
+    """Vector-norm rollup per label (array fold + decimal-exact sum)."""
+    e = t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.round(F.sqrt(sq), 6)
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(norm.cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic + sessionization + WARC join pipeline
+# ---------------------------------------------------------------------------
+
+@register(
+    "q29_lang_id_heuristic",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','key','row'))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+      FROM documents)
+    SELECT CASE WHEN stop_ratio >= 0.05 THEN 'en_like' ELSE 'other' END AS predicted,
+           lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM scored GROUP BY predicted, lang ORDER BY predicted, lang
+    """,
+)
+def q29(spark, sf_dir):
+    """Language-ID n-gram/stopword heuristic: stopword-ratio classifier,
+    cross-tabbed against the labeled lang column."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stops = F.filter(toks, lambda x: x.isin("the", "a", "key", "row"))
+    ratio = F.size(stops).cast("double") / F.size(toks).cast("double")
+    return (
+        d.select(
+            F.when(ratio >= 0.05, "en_like").otherwise("other").alias("predicted"),
+            "lang",
+        )
+        .groupBy("predicted", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("predicted", "lang")
+    )
+
+
+@register(
+    "q30_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM flagged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q30(spark, sf_dir):
+    """Sessionization: 30-min-gap session boundaries via lag + running sum —
+    the W1/W9 window pattern composed."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; epoch-seconds via an explicit ltz hop
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    prev = F.lag(epoch).over(w)
+    new_s = F.when(prev.isNull() | (epoch - prev > 1800), 1).otherwise(0)
+    return (
+        ev.select("user_id", new_s.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q31_warc_index_join",
+    """
+    WITH req AS (
+      SELECT event_id AS record_id,
+             'https://site.example/' || CAST(user_id % 50 AS VARCHAR) AS uri
+      FROM events WHERE event_id % 3 = 0),
+    resp AS (
+      SELECT event_id AS resp_id,
+             CASE WHEN event_id % 5 = 1 THEN NULL ELSE event_id - 2 END AS concurrent_to,
+             'https://site.example/' || CAST(user_id % 50 AS VARCHAR) AS uri
+      FROM events WHERE event_id % 3 = 2),
+    direct AS (
+      SELECT p.resp_id, r.record_id FROM resp p JOIN req r ON p.concurrent_to = r.record_id),
+    leftover AS (SELECT * FROM resp WHERE concurrent_to IS NULL),
+    fallback AS (
+      SELECT resp_id, record_id FROM (
+        SELECT l.resp_id, r.record_id,
+               row_number() OVER (PARTITION BY l.resp_id ORDER BY r.record_id) AS rn
+        FROM leftover l JOIN req r ON l.uri = r.uri) WHERE rn = 1)
+    SELECT CAST((SELECT COUNT(*) FROM direct) AS BIGINT) AS n_direct,
+           CAST((SELECT COUNT(*) FROM fallback) AS BIGINT) AS n_fallback,
+           CAST((SELECT COUNT(*) FROM leftover) AS BIGINT) AS n_orphan_resp
+    """,
+)
+def q31(spark, sf_dir):
+    """The WARC index build re-expressed relationally: request↔response hash
+    join on record id (J1, warc-record.ts:26-53) + first-unmatched-wins
+    fallback repair join on URI (J2/W8, warc-record.ts:55-79)."""
+    ev = t(spark, sf_dir, "events")
+    uri = F.concat(F.lit("https://site.example/"), (F.col("user_id") % 50).cast("string"))
+    req = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("record_id"), uri.alias("uri")
+    )
+    resp = ev.filter(F.col("event_id") % 3 == 2).select(
+        F.col("event_id").alias("resp_id"),
+        F.when(F.col("event_id") % 5 == 1, F.lit(None)).otherwise(
+            F.col("event_id") - 2
+        ).alias("concurrent_to"),
+        uri.alias("uri"),
+    )
+    direct = resp.join(req, resp.concurrent_to == req.record_id)
+    leftover = resp.filter(F.col("concurrent_to").isNull())
+    w = Window.partitionBy("resp_id").orderBy("record_id")
+    fallback = (
+        leftover.join(req, "uri")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        direct.agg(F.count(F.lit(1)).alias("n_direct"))
+        .crossJoin(fallback.agg(F.count(F.lit(1)).alias("n_fallback")))
+        .crossJoin(leftover.agg(F.count(F.lit(1)).alias("n_orphan_resp")))
+    )

@@ -44,7 +44,13 @@ def get_spark(
     app_name: str = "warc-bench-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    max_partition_bytes: int | None = None,
 ) -> SparkSession:
+    """``max_partition_bytes`` sizes scan splits; locally our parquet inputs
+    are tiny, so the default 128MB would bin-pack a whole table into 1-2
+    scan tasks and serialize the map stage — benchmarks pass a small value
+    so scan parallelism matches core count (on a real cluster the data
+    volume does this naturally)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
     builder = (
@@ -61,6 +67,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    if max_partition_bytes is not None:
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes", str(max_partition_bytes)
+        ).config("spark.sql.files.openCostInBytes", str(max_partition_bytes // 4))
     spark = builder.getOrCreate()
     spark.sparkContext.addPyFile(_package_zip())
     return spark
