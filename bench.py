@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 
@@ -168,9 +169,9 @@ def run_kernel_at(cores: int, fdir: str, sdir: str, rdir: str) -> tuple[float, i
         return dt, int(row["n"])
 
     one_pass()  # JVM/codegen/worker warm-up pass
-    (d1, n), (d2, _) = one_pass(), one_pass()  # min of two measured passes
+    passes = [one_pass() for _ in range(3)]  # min-of-3: the box is shared
     spark.stop()
-    return min(d1, d2), n
+    return min(d for d, _ in passes), passes[0][1]
 
 
 def run_crawl_at(cores: int, corpus_dir: str) -> tuple[float, int]:
@@ -189,7 +190,31 @@ def run_crawl_at(cores: int, corpus_dir: str) -> tuple[float, int]:
     return dt, n
 
 
+def _subprocess_measure(args: list[str]) -> dict:
+    """Run one measurement in a fresh interpreter + fresh JVM — sequential
+    SparkSessions in one process degrade (leaked accumulator servers,
+    driver-heap creep), and a fresh process per parallelism level is the
+    local analog of one spark-submit per cluster size."""
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *args],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--kernel-worker":
+        cores = int(sys.argv[2])
+        dt, n = run_kernel_at(cores, *sys.argv[3:6])
+        print(json.dumps({"sec": dt, "n": n}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--wave-worker":
+        dt, n = run_crawl_at(int(sys.argv[2]), sys.argv[3])
+        print(json.dumps({"sec": dt, "n": n}))
+        return
+
     os.makedirs(WORK, exist_ok=True)
     queries: dict[str, float] = {}
 
@@ -208,7 +233,8 @@ def main() -> None:
         spark.stop()
 
     log(f"[bench] wave loop at local[{CPUS}]")
-    t_wave, n_wave = run_crawl_at(CPUS, corpus_dir)
+    w = _subprocess_measure(["--wave-worker", str(CPUS), corpus_dir])
+    t_wave, n_wave = w["sec"], w["n"]
     queries["crawl_wave_loop"] = round(t_wave, 3)
 
     # --- scheduling kernel at three parallelism levels ---------------------
@@ -222,7 +248,8 @@ def main() -> None:
     counts: dict[int, int] = {}
     for c in sorted({2, CPUS_SMALL, CPUS}):
         log(f"[bench] kernel at local[{c}]")
-        times[c], counts[c] = run_kernel_at(c, fdir, sdir, rdir)
+        r = _subprocess_measure(["--kernel-worker", str(c), fdir, sdir, rdir])
+        times[c], counts[c] = r["sec"], r["n"]
     assert len(set(counts.values())) == 1, "kernel is parallelism-variant!"
     t_2, t_n, t_4n = times[2], times[CPUS_SMALL], times[CPUS]
     queries["crawl_kernel_4n"] = round(t_4n, 3)

@@ -110,3 +110,52 @@ def test_spark_udf_matches_python(spark):
         expected = canonicalize_url(row["raw"])
         assert row["canonical"] == expected
         assert row["h"] == sha256_hex(expected)
+
+
+def test_fast_path_equivalence():
+    """Property: the fast-path canonicalizer is bit-identical to the full
+    path on every URL shape the corpus generator and frontier_gen emit,
+    plus adversarial edges."""
+    import random
+    import warc_bench_spark.functions.urls as U
+
+    rng = random.Random(7)
+    urls = []
+    for i in range(3000):
+        host = f"host{rng.randrange(10000):05d}.bench.example.com"
+        q = f"id={i}"
+        if rng.random() < 0.4:
+            q += f"&timestamp={rng.randrange(10**9)}"
+        if rng.random() < 0.2:
+            q += f"&viewport.lat={rng.random():.3f}"
+        urls.append(f"https://{host}/p/{i}?{q}")
+    urls += [
+        "https://a.com/x",
+        "https://a.com/x?",
+        "https://a.com/x?flag",
+        "https://A.com/x?b=1",
+        "https://a.com/x?b=%20c",
+        "https://www.google.com/search?q=a&ved=1",
+        "https://a.com/x?b=1&b=2",
+        "https://a.com",
+        "http://a.com/x?b=1",
+        "https://a.com/p%20q?x=1",
+    ]
+
+    fast_re = U._FAST_RE
+    never = __import__("re").compile(r"(?!)")
+    got_fast = [U.canonicalize_url(u) for u in urls]
+    U._FAST_RE = never
+    try:
+        got_slow = [U.canonicalize_url(u) for u in urls]
+    finally:
+        U._FAST_RE = fast_re
+    assert got_fast == got_slow
+
+
+def test_fast_path_actually_hits():
+    from warc_bench_spark.functions.urls import _fast_canonical
+
+    assert _fast_canonical("https://a.com/x?id=1") == "https://a.com/x?id=1"
+    assert _fast_canonical("https://a.com/x?timestamp=1") is None  # volatile
+    assert _fast_canonical("https://www.google.com/search?q=a") is None

@@ -40,8 +40,18 @@ def _h1h2(url_hash_hex: str) -> tuple[int, int]:
 
 
 def not_seen_exact(candidates: DataFrame, seen: DataFrame) -> DataFrame:
-    """The authoritative dedup: left anti join on url_hash (D1/S11)."""
-    return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
+    """The authoritative dedup: left anti join on url_hash (D1/S11).
+
+    Strategy: SHUFFLE_HASH, not broadcast — at the 10^10-URL design point
+    url_seen can never broadcast, and even locally the broadcast build is a
+    serial driver-side constant that caps scaling. With both tables
+    hash-partitioned on url_hash at write time (Iceberg bucketing on a real
+    deployment) the exchange is co-partitioned; the Bloom shards
+    (not_seen_bloom) are the broadcast-sized fast path.
+    """
+    return candidates.join(
+        seen.select("url_hash").hint("SHUFFLE_HASH"), "url_hash", "left_anti"
+    )
 
 
 def build_bloom_shards(seen: DataFrame, cfg: CrawlConfig) -> dict[int, bytes]:

@@ -244,3 +244,82 @@ def q41(spark, sf_dir):
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+@register(
+    "q42_host_task_classifier",
+    """
+    SELECT task_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN source IN ('src0','src1','src2') THEN 'shopping'
+                  WHEN source IN ('src3','src4') THEN 'shopping_admin'
+                  WHEN source IN ('src5','src6','src7') THEN 'forum'
+                  ELSE 'openended' END AS task_type
+      FROM documents)
+    GROUP BY task_type ORDER BY task_type
+    """,
+)
+def q42(spark, sf_dir):
+    """C5: port/host -> task-type chained-when classifier
+    (trajectory_collector/utils/webarena_openended_task.py:9-22)."""
+    d = t(spark, sf_dir, "documents")
+    tt = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), "shopping")
+        .when(F.col("source").isin("src3", "src4"), "shopping_admin")
+        .when(F.col("source").isin("src5", "src6", "src7"), "forum")
+        .otherwise("openended")
+    )
+    return (
+        d.select(tt.alias("task_type"))
+        .groupBy("task_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("task_type")
+    )
+
+
+@register(
+    "q43_round_robin_pool",
+    """
+    SELECT pool_url, CAST(COUNT(*) AS BIGINT) AS n_assigned FROM (
+      SELECT (['https://a.example','https://b.example','https://c.example'])
+             [CAST(c_custkey % 3 AS INTEGER) + 1] AS pool_url
+      FROM customer)
+    GROUP BY pool_url ORDER BY pool_url
+    """,
+)
+def q43(spark, sf_dir):
+    """J9: round-robin url_pool assignment task i -> pool[i % len]
+    (eval_runner.py:108-121)."""
+    c = t(spark, sf_dir, "customer")
+    pool = F.array(
+        F.lit("https://a.example"), F.lit("https://b.example"), F.lit("https://c.example")
+    )
+    assigned = F.element_at(pool, (F.col("c_custkey") % 3).cast("int") + 1)
+    return (
+        c.select(assigned.alias("pool_url"))
+        .groupBy("pool_url")
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+        .orderBy("pool_url")
+    )
+
+
+@register(
+    "q44_repetitive_action_guard",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_repetitive_users FROM (
+      SELECT user_id, MAX(c) AS max_repeat FROM (
+        SELECT user_id, event_type, COUNT(*) AS c FROM events
+        WHERE event_type <> 'view'
+        GROUP BY user_id, event_type)
+      GROUP BY user_id HAVING MAX(c) > 8)
+    """,
+)
+def q44(spark, sf_dir):
+    """A4/D4: repetitive-action detector — frequency Counter over non-scroll
+    actions, trip when max count exceeds the cap
+    (task_completion_verifier.py:92-108)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") != "view")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    tripped = per.groupBy("user_id").agg(F.max("c").alias("max_repeat")).filter(
+        F.col("max_repeat") > 8
+    )
+    return tripped.agg(F.count(F.lit(1)).alias("n_repetitive_users"))
