@@ -107,7 +107,23 @@ def test_streaming_windowed_counts(spark, tmp_path):
         windowed_event_counts_stream,
     )
 
-    events_dir = f"{SF}/events.parquet"
+    # split events into time-contiguous slices written sequentially: the
+    # file source processes them oldest-first, so the watermark advances
+    # monotonically between micro-batches (no late-drops) and closed
+    # windows are emitted deterministically
+    import time as _time
+
+    events_dir = str(tmp_path / "events_src")
+    all_rows = (
+        spark.read.parquet(f"{SF}/events.parquet").orderBy("ts", "event_id").collect()
+    )
+    schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    step = (len(all_rows) + 5) // 6
+    for i in range(0, len(all_rows), step):
+        spark.createDataFrame(all_rows[i : i + step], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(events_dir)
+        _time.sleep(0.1)
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
     windowed_event_counts_stream(spark, events_dir, ckpt, out)

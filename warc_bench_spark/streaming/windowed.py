@@ -29,6 +29,10 @@ def windowed_event_counts_stream(
     schema = spark.read.parquet(input_dir).schema
     stream = (
         spark.readStream.schema(schema)
+        # one file per micro-batch: the watermark only advances between
+        # micro-batches, so a single-batch read would emit no closed windows
+        # in append mode
+        .option("maxFilesPerTrigger", 1)
         .parquet(input_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
