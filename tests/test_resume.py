@@ -34,12 +34,13 @@ def corpus_dir(spark, corpus, tmp_path_factory):
     return d
 
 
-def test_kill_and_resume_identical(spark, corpus, corpus_dir, tmp_path):
+@pytest.mark.parametrize("use_bloom", [False, True])
+def test_kill_and_resume_identical(spark, corpus, corpus_dir, tmp_path, use_bloom):
     golden = simulate_crawl(corpus, CFG)
 
-    state = str(tmp_path / "state")
+    state = str(tmp_path / f"state_{use_bloom}")
     # run only 2 waves, then "kill" (drop the engine object entirely)
-    eng1 = CrawlEngine(spark, CFG, corpus_dir, state, use_bloom=False)
+    eng1 = CrawlEngine(spark, CFG, corpus_dir, state, use_bloom=use_bloom)
     eng1.run(max_waves=2)
     manifest = eng1.store.latest()
     assert manifest["next_wave"] == 2
@@ -47,7 +48,7 @@ def test_kill_and_resume_identical(spark, corpus, corpus_dir, tmp_path):
     del eng1
 
     # a fresh engine resumes from the snapshot and finishes the crawl
-    eng2 = CrawlEngine(spark, CFG, corpus_dir, state, use_bloom=False)
+    eng2 = CrawlEngine(spark, CFG, corpus_dir, state, use_bloom=use_bloom)
     eng2.run()
 
     got = [(r["seq"], r["canonical_url"]) for r in eng2.crawl_log().collect()]

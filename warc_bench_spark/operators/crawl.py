@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from ..config import CrawlConfig
 from ..functions.urls import canonicalize_udf, url_hash_col
 from ..state import SnapshotStore
-from .dedup import not_seen_bloom, not_seen_exact
+from .dedup import BloomStore, not_seen_bloom, not_seen_exact
 from .extract import extract_outlinks
 from .politeness import schedule_wave
 
@@ -74,6 +74,7 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.force_rank = force_rank
         self.store = SnapshotStore(state_dir)
+        self.blooms = BloomStore(state_dir, cfg)
         self.pages = spark.read.parquet(os.path.join(corpus_dir, "pages"))
         self.documents = spark.read.parquet(os.path.join(corpus_dir, "documents"))
         self.seeds = spark.read.parquet(os.path.join(corpus_dir, "seeds"))
@@ -140,11 +141,22 @@ class CrawlEngine:
         frontier = self.store.read_table(spark, "frontier")
         seen = self.store.read_table(spark, "url_seen")
 
-        # 1. dedup: Bloom prefilter + exact anti-join (D1/S11). Persisted:
+        # 1. dedup: Bloom prefilter + exact anti-join (D1/S11). Shards are
+        #    maintained incrementally across waves (BloomStore). Persisted:
         #    the skew-aware rank consumes candidates twice (window + offsets
         #    histogram), and admission reuses them — one materialization.
+        shards: dict[int, bytes] = {}
         if self.use_bloom and seen.take(1):
-            cand = not_seen_bloom(spark, frontier, seen, cfg)
+            # Bloom false NEGATIVES would skip the exact anti-join and
+            # re-admit seen URLs, so the shard set must cover every
+            # committed seen delta: stamp >= wave-1, else rebuild from the
+            # full table (covers crashes and bloom-disabled stretches).
+            shards, stamp = self.blooms.load(up_to_wave=wave)
+            if stamp < wave - 1:
+                from .dedup import build_bloom_shards
+
+                shards = build_bloom_shards(seen, cfg)
+            cand = not_seen_bloom(spark, frontier, seen, cfg, shards=shards or None)
         else:
             cand = not_seen_exact(frontier, seen)
         cand = cand.persist()
@@ -250,6 +262,11 @@ class CrawlEngine:
                 "frontier_count": n_frontier,
             },
         )
+        if self.use_bloom:
+            # OR this wave's seen delta into the persisted shard set; done
+            # after the snapshot commit so a crash between the two leaves
+            # shards stale-behind, which the stamp check repairs on resume
+            self.blooms.update(shards, seen_delta, wave)
         admitted.unpersist()
         next_frontier.unpersist()
         cand.unpersist()

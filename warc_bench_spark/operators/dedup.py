@@ -126,10 +126,19 @@ def bloom_maybe_udf(spark: SparkSession, shards: dict[int, bytes], cfg: CrawlCon
 
 
 def not_seen_bloom(
-    spark: SparkSession, candidates: DataFrame, seen: DataFrame, cfg: CrawlConfig
+    spark: SparkSession,
+    candidates: DataFrame,
+    seen: DataFrame,
+    cfg: CrawlConfig,
+    shards: dict[int, bytes] | None = None,
 ) -> DataFrame:
-    """Bloom prefilter + exact anti-join for the flagged residue."""
-    shards = build_bloom_shards(seen, cfg)
+    """Bloom prefilter + exact anti-join for the flagged residue.
+
+    ``shards`` may be supplied from a persisted incremental store
+    (``BloomStore``); otherwise they are rebuilt from the full seen table.
+    """
+    if shards is None:
+        shards = build_bloom_shards(seen, cfg)
     if not shards:
         return candidates
     maybe = bloom_maybe_udf(spark, shards, cfg)
@@ -137,3 +146,69 @@ def not_seen_bloom(
     fresh = flagged.filter(~F.col("_maybe")).drop("_maybe")
     residue = not_seen_exact(flagged.filter(F.col("_maybe")).drop("_maybe"), seen)
     return fresh.unionByName(residue)
+
+
+class BloomStore:
+    """Incremental sharded Bloom filter persisted alongside the snapshots.
+
+    The seen set only ever grows, and Bloom bitmaps OR monotonically, so
+    instead of rebuilding the shards from the full url_seen table every wave
+    (a full-table aggregation), each wave ORs in the bitmap of its *delta*
+    and writes the merged shards next to the snapshot manifest. Crash
+    safety: shards are advisory — a stale (pre-crash) shard set only
+    produces extra false-negatives... which here means extra rows routed to
+    the exact anti-join, never a wrong answer (§7.4 Bloom exactness
+    discipline). Files are stamped with the wave they cover; resume loads
+    the newest stamp <= the committed wave.
+    """
+
+    def __init__(self, root: str, cfg: CrawlConfig):
+        import os
+
+        self.dir = os.path.join(root, "_bloom")
+        os.makedirs(self.dir, exist_ok=True)
+        self.cfg = cfg
+
+    def _path(self, wave: int) -> str:
+        import os
+
+        return os.path.join(self.dir, f"shards_{wave:06d}.npz")
+
+    def load(self, up_to_wave: int) -> tuple[dict[int, bytes], int]:
+        """Newest shard set covering a wave <= up_to_wave; ({}, -1) if none."""
+        import os
+
+        best = -1
+        for name in os.listdir(self.dir):
+            if name.startswith("shards_") and name.endswith(".npz"):
+                w = int(name[7:13])
+                if w <= up_to_wave and w > best:
+                    best = w
+        if best < 0:
+            return {}, -1
+        data = np.load(self._path(best))
+        return {int(k): data[k].tobytes() for k in data.files}, best
+
+    def update(
+        self, shards: dict[int, bytes], delta: DataFrame, wave: int
+    ) -> dict[int, bytes]:
+        """OR the delta's bitmaps into the shard set and persist atomically."""
+        import os
+
+        delta_shards = build_bloom_shards(delta, self.cfg)
+        merged = dict(shards)
+        for sid, blob in delta_shards.items():
+            if sid in merged:
+                merged[sid] = (
+                    np.frombuffer(merged[sid], dtype=np.uint8)
+                    | np.frombuffer(blob, dtype=np.uint8)
+                ).tobytes()
+            else:
+                merged[sid] = blob
+        tmp = self._path(wave) + ".tmp.npz"
+        np.savez(
+            tmp.removesuffix(".npz"),
+            **{str(k): np.frombuffer(v, dtype=np.uint8) for k, v in merged.items()},
+        )
+        os.rename(tmp, self._path(wave))
+        return merged
