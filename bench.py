@@ -67,6 +67,8 @@ def log(msg: str) -> None:
 
 
 def run_relational(results: dict) -> float:
+    import warc_bench_spark.plans.relational2  # noqa: F401  (extends REGISTRY)
+    import warc_bench_spark.plans.similarity_text  # noqa: F401
     from warc_bench_spark.plans.relational import REGISTRY
 
     spark = get_spark("bench-relational", cores=CPUS, shuffle_partitions=CPUS)

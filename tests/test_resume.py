@@ -86,3 +86,21 @@ def test_uncommitted_wave_is_invisible(spark, corpus_dir, tmp_path):
     assert eng2.store.latest() == before  # orphan invisible
     log = eng2.crawl_log().collect()
     assert all(r["wave"] == 0 for r in log)
+
+
+def test_compaction_preserves_golden(spark, corpus, corpus_dir, tmp_path):
+    """Compacting url_seen/crawl_log every 2 waves must not change results,
+    and must shrink the manifest's dir lists."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, compact_every=2)
+    golden = simulate_crawl(corpus, cfg)
+    eng = CrawlEngine(spark, cfg, corpus_dir, str(tmp_path / "state_c"), use_bloom=True)
+    eng.run()
+    got = [(r["seq"], r["canonical_url"]) for r in eng.crawl_log().collect()]
+    want = [(s, c) for (s, _w, c, _h, _v, _p) in golden.crawl_log]
+    assert got == want
+    manifest = eng.store.latest()
+    # after a compaction wave the url_seen list is short, not one-per-wave
+    assert len(manifest["tables"]["url_seen"]) <= 2
+    assert len(manifest["tables"]["crawl_log"]) <= 2

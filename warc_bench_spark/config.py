@@ -76,6 +76,10 @@ class CrawlConfig:
 
     # engine
     shuffle_partitions: int = 32
+    # rewrite append-tables (url_seen, crawl_log) as one compact version
+    # every N waves — the small-files control an Iceberg deployment would
+    # get from rewrite_data_files
+    compact_every: int = 16
 
     def host_name(self, i: int) -> str:
         return f"host{i:04d}.example.com"

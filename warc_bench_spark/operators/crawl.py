@@ -251,11 +251,26 @@ class CrawlEngine:
             )
         )
 
-        # 7. atomic snapshot commit (frontier replace, the rest append)
+        # 7. atomic snapshot commit (frontier replace, the rest append).
+        #    Periodically the append tables are rewritten as one compact
+        #    version (small-files control; Iceberg's rewrite_data_files).
+        replace_tables = {"frontier": next_frontier}
+        append_tables = {"url_seen": seen_delta, "crawl_log": log_delta, "metrics": metrics}
+        if (wave + 1) % cfg.compact_every == 0:
+            replace_tables["url_seen"] = seen.unionByName(seen_delta).repartition(
+                cfg.shuffle_partitions, "url_hash"
+            )
+            old_log = self.store.read_table(spark, "crawl_log")
+            full_log = (
+                old_log.unionByName(log_delta) if old_log is not None else log_delta
+            )
+            replace_tables["crawl_log"] = full_log.repartition(4)
+            for name in replace_tables:
+                append_tables.pop(name, None)
         self.store.commit(
             wave=wave + 1,
-            replace={"frontier": next_frontier},
-            append={"url_seen": seen_delta, "crawl_log": log_delta, "metrics": metrics},
+            replace=replace_tables,
+            append=append_tables,
             extra={
                 "next_wave": wave + 1,
                 "seq_end": seq_start + n_admitted,
