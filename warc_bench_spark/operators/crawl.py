@@ -140,13 +140,14 @@ class CrawlEngine:
         spark, cfg = self.spark, self.cfg
         frontier = self.store.read_table(spark, "frontier")
         seen = self.store.read_table(spark, "url_seen")
+        seen_nonempty = seq_start > 0  # manifest metadata, no Spark job
 
         # 1. dedup: Bloom prefilter + exact anti-join (D1/S11). Shards are
         #    maintained incrementally across waves (BloomStore). Persisted:
         #    the skew-aware rank consumes candidates twice (window + offsets
         #    histogram), and admission reuses them — one materialization.
         shards: dict[int, bytes] = {}
-        if self.use_bloom and seen.take(1):
+        if self.use_bloom and seen_nonempty:
             # Bloom false NEGATIVES would skip the exact anti-join and
             # re-admit seen URLs, so the shard set must cover every
             # committed seen delta: stamp >= wave-1, else rebuild from the

@@ -323,3 +323,37 @@ def q44(spark, sf_dir):
         F.col("max_repeat") > 8
     )
     return tripped.agg(F.count(F.lit(1)).alias("n_repetitive_users"))
+
+
+@register(
+    "q45_rollup_summary",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def q45(spark, sf_dir):
+    """Hierarchical ROLLUP totals — beyond the reference (SURVEY §2.5 notes
+    it has no grouping sets; its closest is the config cross-product), but
+    table stakes for an analytics engine."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "total_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
