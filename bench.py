@@ -54,6 +54,21 @@ BENCH_CFG = CrawlConfig(
 )
 
 KERNEL_URLS = int(os.environ.get("SPARK_GRAFT_KERNEL_URLS", "2000000"))
+
+# optional amortized-scale wave loop (SPARK_GRAFT_BIG_WAVE=1): Spark-generated
+# corpus, budgets big enough that per-wave constants vanish
+BIG_WAVE = os.environ.get("SPARK_GRAFT_BIG_WAVE") == "1"
+BIG_CFG = CrawlConfig(
+    seed=42,
+    n_urls=int(os.environ.get("SPARK_GRAFT_BIG_WAVE_URLS", "1000000")),
+    n_hosts=5000,
+    n_seeds=50_000,
+    budget_per_wave=150_000,
+    max_waves=3,
+    hot_host_threshold=50_000,
+    default_delay_ms=100,
+    window_limit=100,
+)
 KERNEL_CFG = CrawlConfig(
     seed=42,
     hot_host_threshold=50_000,
@@ -176,14 +191,20 @@ def run_kernel_at(cores: int, fdir: str, sdir: str, rdir: str) -> tuple[float, i
     return min(d for d, _ in passes), passes[0][1]
 
 
-def run_crawl_at(cores: int, corpus_dir: str) -> tuple[float, int]:
+def run_crawl_at(cores: int, corpus_dir: str, big: bool = False) -> tuple[float, int]:
     from warc_bench_spark.operators.crawl import CrawlEngine
 
-    spark = get_spark(f"bench-crawl-{cores}", cores=cores, shuffle_partitions=cores)
+    cfg = BIG_CFG if big else BENCH_CFG
+    spark = get_spark(
+        f"bench-crawl-{cores}",
+        cores=cores,
+        shuffle_partitions=cores,
+        max_partition_bytes=4 * 1024 * 1024 if big else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
-    state = f"{WORK}/state_{cores}"
+    state = f"{WORK}/state_{cores}_{'big' if big else 'small'}"
     shutil.rmtree(state, ignore_errors=True)
-    eng = CrawlEngine(spark, BENCH_CFG, corpus_dir, state, use_bloom=True)
+    eng = CrawlEngine(spark, cfg, corpus_dir, state, use_bloom=True)
     t0 = time.perf_counter()
     stats = eng.run()
     dt = time.perf_counter() - t0
@@ -213,7 +234,8 @@ def main() -> None:
         print(json.dumps({"sec": dt, "n": n}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--wave-worker":
-        dt, n = run_crawl_at(int(sys.argv[2]), sys.argv[3])
+        big = len(sys.argv) > 4 and sys.argv[4] == "big"
+        dt, n = run_crawl_at(int(sys.argv[2]), sys.argv[3], big=big)
         print(json.dumps({"sec": dt, "n": n}))
         return
 
@@ -272,6 +294,23 @@ def main() -> None:
         "wave_loop_urls": n_wave,
         "wave_loop_urls_per_sec": round(n_wave / t_wave, 1),
     }
+
+    if BIG_WAVE:
+        big_dir = f"{WORK}/big_corpus_{BIG_CFG.n_urls}_{BIG_CFG.seed}"
+        if not os.path.isdir(f"{big_dir}/documents"):
+            log(f"[bench] generating big Spark corpus ({BIG_CFG.n_urls} URLs)")
+            from warc_bench_spark.synth_spark import write_spark_corpus
+
+            spark = get_spark("bench-big-synth", cores=CPUS, shuffle_partitions=CPUS)
+            spark.sparkContext.setLogLevel("ERROR")
+            write_spark_corpus(spark, big_dir, BIG_CFG)
+            spark.stop()
+        log(f"[bench] big wave loop at local[{CPUS}]")
+        bw = _subprocess_measure(["--wave-worker", str(CPUS), big_dir, "big"])
+        crawl["big_wave_sec"] = round(bw["sec"], 3)
+        crawl["big_wave_urls"] = bw["n"]
+        crawl["big_wave_urls_per_sec"] = round(bw["n"] / bw["sec"], 1)
+        queries["crawl_big_wave"] = round(bw["sec"], 3)
 
     out = {
         "metric": "headline_total_sec",
