@@ -68,10 +68,15 @@ class CrawlEngine:
         state_dir: str,
         use_bloom: bool = True,
         force_rank: str | None = None,
+        seen_filter: str | None = None,
     ):
+        """``seen_filter``: 'bloom' (default when use_bloom), 'cuckoo', or
+        None (exact anti-join only). Both filters are prefilters with the
+        same exactness discipline."""
         self.spark = spark
         self.cfg = cfg
-        self.use_bloom = use_bloom
+        self.seen_filter = seen_filter or ("bloom" if use_bloom else None)
+        self.use_bloom = self.seen_filter == "bloom"
         self.force_rank = force_rank
         self.store = SnapshotStore(state_dir)
         self.blooms = BloomStore(state_dir, cfg)
@@ -158,6 +163,11 @@ class CrawlEngine:
 
                 shards = build_bloom_shards(seen, cfg)
             cand = not_seen_bloom(spark, frontier, seen, cfg, shards=shards or None)
+        elif self.seen_filter == "cuckoo" and seen_nonempty:
+            from .cuckoo import CuckooShards, not_seen_cuckoo
+
+            filt = CuckooShards(cfg).insert_df(seen)
+            cand = not_seen_cuckoo(spark, frontier, seen, filt)
         else:
             cand = not_seen_exact(frontier, seen)
         cand = cand.persist()
