@@ -1,0 +1,79 @@
+"""Exact crawl order under different parallelism (SURVEY §7.4 item 2):
+the same corpus + config crawled at local[2] (separate process, separate
+JVM, different shuffle partitioning) must produce the byte-identical crawl
+log as the in-session local[8] run."""
+
+import json
+import os
+import subprocess
+import sys
+
+from warc_bench_spark.config import CrawlConfig
+from warc_bench_spark.operators.crawl import CrawlEngine
+from warc_bench_spark.synth import generate_corpus, write_corpus
+
+CFG = CrawlConfig(
+    seed=321,
+    n_urls=600,
+    n_hosts=12,
+    n_seeds=12,
+    budget_per_wave=90,
+    max_waves=3,
+    hot_host_threshold=30,  # force the skew-split path too
+)
+
+WORKER = r"""
+import sys, json
+sys.path.insert(0, sys.argv[1])
+from warc_bench_spark.session import get_spark
+from warc_bench_spark.config import CrawlConfig
+from warc_bench_spark.operators.crawl import CrawlEngine
+
+cfg = CrawlConfig(**json.loads(sys.argv[2]))
+spark = get_spark("invariance-2", cores=2, shuffle_partitions=2)
+spark.sparkContext.setLogLevel("ERROR")
+eng = CrawlEngine(spark, cfg, sys.argv[3], sys.argv[4], use_bloom=True)
+eng.run()
+rows = [
+    [r["seq"], r["wave"], r["canonical_url"], r["host"], r["vt"], r["priority"]]
+    for r in eng.crawl_log().collect()
+]
+print("RESULT:" + json.dumps(rows))
+"""
+
+
+def test_local2_equals_local8(spark, tmp_path):
+    corpus = generate_corpus(CFG)
+    corpus_dir = str(tmp_path / "corpus")
+    write_corpus(spark, corpus, corpus_dir)
+
+    eng8 = CrawlEngine(spark, CFG, corpus_dir, str(tmp_path / "s8"), use_bloom=True)
+    eng8.run()
+    got8 = [
+        [r["seq"], r["wave"], r["canonical_url"], r["host"], r["vt"], r["priority"]]
+        for r in eng8.crawl_log().collect()
+    ]
+
+    import dataclasses
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            WORKER,
+            repo,
+            json.dumps(dataclasses.asdict(CFG)),
+            corpus_dir,
+            str(tmp_path / "s2"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=400,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT:")][-1]
+    got2 = json.loads(line[len("RESULT:"):])
+
+    assert len(got8) > 100
+    assert got2 == got8  # exact total order, parallelism-invariant
