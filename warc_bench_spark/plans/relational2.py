@@ -357,3 +357,41 @@ def q45(spark, sf_dir):
         )
         .orderBy("returnflag", "linestatus")
     )
+
+
+@register(
+    "q46_url_canonicalize_udf",
+    """
+    SELECT url_hash, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT sha256(regexp_replace(
+               'https://h' || CAST(c_custkey % 50 AS VARCHAR) || '.example.com/x?id='
+                 || CAST(c_custkey % 200 AS VARCHAR) || '&timestamp=' || CAST(c_custkey AS VARCHAR),
+               'timestamp=\\d+', 'timestamp=%7Btimestamp%7D')) AS url_hash
+      FROM customer)
+    GROUP BY url_hash ORDER BY n DESC, url_hash LIMIT 50
+    """,
+)
+def q46(spark, sf_dir):
+    """C1 under the oracle gate: the engine's actual Arrow-vectorized
+    canonicalizer (functions/urls.py, the normalizeUrl reimplementation)
+    run over synthesized volatile-param URLs; the DuckDB oracle mirrors the
+    rewrite with a regexp for this constrained URL shape. Dedup pressure:
+    distinct custkeys collapse to shared canonical URLs."""
+    from ..functions.urls import canonicalize_udf
+
+    c = t(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.lit("https://h"),
+        (F.col("c_custkey") % 50).cast("string"),
+        F.lit(".example.com/x?id="),
+        (F.col("c_custkey") % 200).cast("string"),
+        F.lit("&timestamp="),
+        F.col("c_custkey").cast("string"),
+    )
+    return (
+        c.select(F.sha2(canonicalize_udf(raw), 256).alias("url_hash"))
+        .groupBy("url_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "url_hash")
+        .limit(50)
+    )
