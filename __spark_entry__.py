@@ -21,6 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from warc_bench_spark.plans.relational import REGISTRY  # noqa: E402
 import warc_bench_spark.plans.similarity_text  # noqa: E402,F401  (extends REGISTRY)
 import warc_bench_spark.plans.relational2  # noqa: E402,F401  (extends REGISTRY)
+import warc_bench_spark.plans.evalmetrics  # noqa: E402,F401  (extends REGISTRY)
+import warc_bench_spark.plans.archives  # noqa: E402,F401  (extends REGISTRY)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -43,6 +43,47 @@ def test_canonicalize_idempotent_prop(url):
     assert canonicalize_url(c) == c
 
 
+@st.composite
+def gnarly_urls(draw):
+    """URLs that stress the batch fast/slow routing: volatile keys, ports,
+    google hosts, unicode whitespace, mixed case, fragments."""
+    host = draw(
+        st.sampled_from(
+            [
+                "a.example.com",
+                "b.example.com:8080",
+                "www.google.com",
+                "MiXeD.Example.COM",
+            ]
+        )
+    )
+    path = draw(st.sampled_from(["/", "/search", "/p/1", "/Path with space", "/x y"]))
+    key = draw(
+        st.sampled_from(
+            ["id", "timestamp", "width", "r", "_", "viewport.w", "client_metadata.z", "start", "ved"]
+        )
+    )
+    val = draw(st.sampled_from(["", "0", "97", "A-b_c.~", "v v"]))
+    scheme = draw(st.sampled_from(["https://", "http://", "", "HTTPS://"]))
+    extra = draw(st.sampled_from(["", "&x=1", "&timestamp=5", "#frag"]))
+    return f"{scheme}{host}{path}?{key}={val}{extra}"
+
+
+@given(st.lists(st.one_of(urls(), gnarly_urls(), st.none()), min_size=1, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_batch_equals_scalar_prop(batch):
+    """canonicalize_series (RE2 fast path + replace) == per-element scalar."""
+    import pandas as pd
+
+    from warc_bench_spark.functions.urls import canonicalize_series
+
+    s = pd.Series(batch, dtype=object)
+    got = list(canonicalize_series(s))
+    want = [canonicalize_url(u) if u is not None else None for u in batch]
+    got = [None if isinstance(g, float) or g is None else g for g in got]
+    assert got == want
+
+
 @given(urls())
 @settings(max_examples=300, deadline=None)
 def test_canonicalize_fast_slow_equivalence_prop(url):

@@ -1,0 +1,135 @@
+"""AXTree similarity (M2), TF-IDF near-dup (D3 literal), add_query_param (C16)."""
+
+from difflib import SequenceMatcher
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from warc_bench_spark.functions.textsim import (
+    axtree_similarity,
+    axtrees_differ,
+    keep_middle,
+)
+from warc_bench_spark.functions.urls import add_query_param
+from warc_bench_spark.operators.neardup import (
+    remove_similar_in_group,
+    similar_pair_mask,
+    tfidf_matrix,
+)
+
+
+# ---------------------------------------------------------------- M2 difflib
+
+def test_keep_middle_matches_reference_slicing():
+    """data_utils.py:154-171: string[(len-L)//2 : (len+L)//2]."""
+    s = "abcdefghij"  # len 10
+    assert keep_middle(s, 10) == s
+    assert keep_middle(s, 11) == s
+    assert keep_middle(s, 4) == s[3:7]
+    assert keep_middle(s, 5) == s[2:7]
+    assert keep_middle("", 5) == ""
+
+
+def test_axtree_similarity_equals_difflib():
+    a = "button Submit\nlink Home\ntext Hello"
+    b = "button Submit\nlink Home\ntext World"
+    assert axtree_similarity(a, b) == SequenceMatcher(None, a, b).ratio()
+    assert axtree_similarity(a, a) == 1.0
+
+
+def test_axtrees_differ_threshold():
+    """Reference semantics: differ iff ratio < 0.9999."""
+    a = "x" * 1000
+    assert not axtrees_differ(a, a)
+    assert axtrees_differ(a, a[:-1] + "y")
+    # truncation path: strings longer than max_length compare by middle part
+    long_a = "p" * 200_000
+    long_b = "q" * 60_000 + "p" * 80_000 + "q" * 60_000
+    # middles (50k) are both all-'p' -> identical -> NOT different
+    assert not axtrees_differ(long_a, long_b)
+
+
+def test_axtree_similarity_udf_matches_python(spark):
+    rows = [
+        ("button A\nlink B", "button A\nlink C"),
+        ("same", "same"),
+        ("", "x"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    from warc_bench_spark.functions.textsim import axtree_similarity_udf
+
+    got = [r["s"] for r in df.select(axtree_similarity_udf("a", "b").alias("s")).collect()]
+    want = [axtree_similarity(a, b) for a, b in rows]
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+# ------------------------------------------------------------- D3 TF-IDF
+
+def _sklearn_style_cosine(texts):
+    w = tfidf_matrix(texts)
+    sim = w @ w.T
+    np.fill_diagonal(sim, 0.0)
+    return sim
+
+
+def test_tfidf_matrix_l2_normalized():
+    w = tfidf_matrix(["red apple pie", "green apple tart", "red red wine"])
+    norms = np.sqrt((w * w).sum(axis=1))
+    assert norms == pytest.approx([1.0, 1.0, 1.0], abs=1e-12)
+
+
+def test_similar_pair_mask_greedy_semantics():
+    """goal_filtering.py greedy loop: first of a similar cluster is kept."""
+    texts = [
+        "buy the blue shirt from the store",
+        "buy the blue shirt from the store",   # dup of 0 -> removed
+        "find cheapest flight to tokyo",
+        "buy the blue shirt from the store",   # dup of 0 -> removed
+        "completely different query about maps",
+    ]
+    mask = similar_pair_mask(texts, threshold=0.99)
+    assert list(mask) == [True, False, True, False, True]
+    sim = _sklearn_style_cosine(texts)
+    assert sim[0, 1] > 0.99 and sim[0, 3] > 0.99 and sim[0, 2] < 0.5
+
+
+def test_remove_similar_in_group_spark_matches_python(spark):
+    rows = []
+    for g, texts in {
+        "u1": ["alpha beta gamma", "alpha beta gamma", "delta epsilon zeta"],
+        "u2": ["single goal here"],
+        "u3": ["pay the bill online", "pay the bill online now", "watch a movie"],
+    }.items():
+        for i, txt in enumerate(texts):
+            rows.append((g, i, txt))
+    df = spark.createDataFrame(rows, "grp string, idx int, text string")
+    kept = remove_similar_in_group(
+        df, group_col="grp", text_col="text", threshold=0.99, order_col="idx"
+    )
+    got = {(r["grp"], r["idx"]) for r in kept.collect()}
+    # python reference, per group in idx order
+    want = set()
+    for g in ("u1", "u2", "u3"):
+        grp = sorted((r for r in rows if r[0] == g), key=lambda r: r[1])
+        mask = similar_pair_mask([r[2] for r in grp], 0.99)
+        want |= {(g, r[1]) for r, m in zip(grp, mask) if m}
+    assert got == want
+    assert ("u1", 0) in got and ("u1", 1) not in got
+    assert ("u2", 0) in got
+
+
+# --------------------------------------------------------------- C16 params
+
+def test_add_query_param_reference_semantics():
+    """auth_utils.py:10-27: parse_qs + replace + urlencode(doseq)."""
+    assert (
+        add_query_param("https://a.com/p?x=1", "tok", "abc")
+        == "https://a.com/p?x=1&tok=abc"
+    )
+    assert add_query_param("https://a.com/p", "tok", "abc") == "https://a.com/p?tok=abc"
+    # replace semantics: existing key is overwritten (all occurrences)
+    assert (
+        add_query_param("https://a.com/p?tok=old&y=2&tok=old2", "tok", "new")
+        == "https://a.com/p?tok=new&y=2"
+    )

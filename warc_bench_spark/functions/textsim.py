@@ -1,0 +1,63 @@
+"""AXTree / web-state text similarity (SURVEY.md §2 M2).
+
+Re-expresses the reference's accessibility-tree change detector
+(``/root/reference/src/orby/trajectory_collector/utils/data_utils.py:75-100``
+``axtrees_differ`` and ``:154-171`` ``_keep_the_middle_part_of_string``):
+both strings are middle-truncated to 50k chars, compared with a
+SequenceMatcher ratio (the reference uses cdifflib's ``CSequenceMatcher``,
+the C implementation of stdlib ``difflib.SequenceMatcher`` — same
+algorithm, same numbers), and "differ" means ratio < 0.9999.
+
+The ratio algorithm is not expressible in SQL, so the Spark lift is an
+Arrow-batched pandas UDF (one Python call per pair, vectorized transfer);
+the driver's oracle records a rows-only check and ``tests/test_textsim.py``
+pins the numbers against this pure-Python reference implementation.
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+DEFAULT_SIMILARITY_THRESHOLD = 0.9999
+DEFAULT_MAX_LENGTH = 50_000
+
+
+def keep_middle(string: str, length: int) -> str:
+    """Middle slice of at most ``length`` chars (data_utils.py:154-171)."""
+    if len(string) <= length:
+        return string
+    return string[
+        max(0, (len(string) - length) // 2) : min(len(string), (len(string) + length) // 2)
+    ]
+
+
+def axtree_similarity(
+    a: str, b: str, max_length: int = DEFAULT_MAX_LENGTH
+) -> float:
+    """SequenceMatcher ratio of the middle-truncated strings."""
+    a = keep_middle(a or "", max_length)
+    b = keep_middle(b or "", max_length)
+    return SequenceMatcher(None, a, b).ratio()
+
+
+def axtrees_differ(
+    a: str,
+    b: str,
+    threshold: float = DEFAULT_SIMILARITY_THRESHOLD,
+    max_length: int = DEFAULT_MAX_LENGTH,
+) -> bool:
+    """True when the trees changed (ratio below threshold) — M2 semantics."""
+    return axtree_similarity(a, b, max_length) < threshold
+
+
+@pandas_udf(DoubleType())
+def axtree_similarity_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched pairwise similarity (per-pair Python is inherent to the
+    SequenceMatcher algorithm; the batch transfer is columnar)."""
+    return pd.Series(
+        [axtree_similarity(x, y) for x, y in zip(a, b)], dtype="float64"
+    )

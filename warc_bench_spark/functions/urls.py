@@ -41,7 +41,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 VOLATILE_KEYS = frozenset({"timestamp", "amp;timestamp", "width", "height", "r", "_"})
 VOLATILE_PREFIXES = ("viewport.", "client_metadata.")
@@ -52,9 +52,13 @@ GOOGLE_SEARCH_DROP = frozenset(
     "source iflsig uact gs_lp sclient sca_esv sei ei sa oq sstk ved biw bih dpr".split()
 )
 
-# URLs are extracted from text spans with this pattern (same regex dialect
-# subset works in Java/Spark, Python and DuckDB).
-URL_PATTERN = r"(?:https?://|www\.)[^\s<>\"']+"
+# URLs are extracted from text spans with this pattern. The whitespace class
+# is spelled out explicitly because `\s` differs across the three regex
+# engines that must agree on it: Java (ASCII [ \t\n\x0B\f\r]), Python
+# (full Unicode whitespace) and DuckDB's RE2 ([\t\n\f\r ], no \x0B). With
+# the explicit class, a Unicode space (U+00A0 etc.) inside a token is part
+# of the URL in all three engines — one pinned semantics.
+URL_PATTERN = r"(?:https?://|www\.)[^ \t\n\r\f\x0B<>\"']+"
 
 DEDUP_KEY_LEN = 20  # mirrors TRAJECTORY_DATA_FINGERPRINT_LENGTH usage
 
@@ -75,6 +79,43 @@ _FAST_RE = re.compile(
     r"^https://[a-z0-9.-]+/[A-Za-z0-9_.~/-]*"
     r"(?:\?[a-z0-9_.-]+=[A-Za-z0-9_.~-]*(?:&[a-z0-9_.-]+=[A-Za-z0-9_.~-]*)*)?$"
 )
+
+# The same fast-path predicate for the BATCH path, split into two
+# lookahead-free regexes so pyarrow.compute (RE2, C++) can evaluate them over
+# whole Arrow arrays: a URL takes the fast path iff it matches the canonical
+# structure AND has no volatile query key AND no 'google'. Keys in _FAST_RE
+# are [a-z0-9_.-]+, so '[?&]<key>=' detects exactly whole-key occurrences
+# ('xr=' cannot fire the 'r' alternative). 'amp;timestamp' contains ';',
+# which the structure regex already rejects. Equivalence with the scalar
+# fast+slow path is property-tested in tests/test_urls.py.
+_FAST_STRUCT_PAT = (
+    r"^https://[a-z0-9.-]+/[A-Za-z0-9_.~/-]*"
+    r"(\?[a-z0-9_.-]+=[A-Za-z0-9_.~-]*(&[a-z0-9_.-]+=[A-Za-z0-9_.~-]*)*)?$"
+)
+_VOLATILE_KEY_PAT = (
+    "[?&]("
+    + "|".join(
+        re.escape(k)
+        for k in sorted((VOLATILE_KEYS | VOLATILE_EXTRA) - {"amp;timestamp"})
+    )
+    + r")="
+    + r"|[?&](viewport|client_metadata)\."
+)
+
+# On structure-clean URLs the ENTIRE canonicalization reduces to replacing
+# each volatile param's value with the percent-encoded {key} placeholder —
+# one RE2 global replace over the whole Arrow array. Keys/values are
+# unreserved chars there, so python's quote() would pass them through
+# unchanged and parse_qsl/urlunsplit round-trip is the identity.
+_VOLATILE_REPLACE_PAT = (
+    r"([?&])((?:viewport|client_metadata)\.[a-z0-9_.-]*|"
+    + "|".join(
+        re.escape(k)
+        for k in sorted((VOLATILE_KEYS | VOLATILE_EXTRA) - {"amp;timestamp"})
+    )
+    + r")=[A-Za-z0-9_.~-]*"
+)
+_VOLATILE_REPLACEMENT = r"\1\2=%7B\2%7D"
 
 
 def _fast_canonical(url: str) -> str | None:
@@ -141,6 +182,30 @@ def dedup_key(base_url: str, goal: str) -> str:
     return sha256_hex(base_url + goal)[:DEDUP_KEY_LEN]
 
 
+def add_query_param(url: str, param: str, value: str) -> str:
+    """Add-or-replace one query parameter (C16).
+
+    Mirrors ``/root/reference/src/orby/digitalagent/utils/auth_utils.py:
+    10-27`` ``add_query_param``: parse the query into a key -> values map,
+    set ``param`` to the single ``value`` (replacing every existing
+    occurrence), re-encode preserving first-occurrence key order.
+    """
+    from urllib.parse import parse_qs, urlencode, urlparse, urlunparse
+
+    parsed = urlparse(url)
+    query_params = parse_qs(parsed.query)
+    query_params[param] = [value]
+    new_query = urlencode(query_params, doseq=True)
+    return urlunparse(parsed._replace(query=new_query))
+
+
+@pandas_udf(StringType())
+def add_query_param_udf(urls: pd.Series, params: pd.Series, values: pd.Series) -> pd.Series:
+    return pd.Series(
+        [add_query_param(u, p, v) for u, p, v in zip(urls, params, values)]
+    )
+
+
 def url_host(canonical_url: str) -> str:
     return urlsplit(canonical_url).netloc
 
@@ -153,10 +218,77 @@ def url_path(canonical_url: str) -> str:
 # Spark-side (Arrow-vectorized)
 # --------------------------------------------------------------------------
 
+def canonicalize_series(urls: pd.Series) -> pd.Series:
+    """Batch canonicalization: RE2 (pyarrow.compute, C++) routes the
+    already-canonical majority straight through; only the residue goes
+    through the per-element ``canonicalize_url``. Exactly equal to mapping
+    ``canonicalize_url`` over the batch (property-tested)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = urls.astype(object)
+    arr = pa.Array.from_pandas(s, type=pa.string())
+    fast = pc.and_kleene(
+        pc.match_substring_regex(arr, _FAST_STRUCT_PAT),
+        pc.invert(pc.match_substring(arr, "google")),
+    )
+    fast_np = (
+        fast.to_pandas().to_numpy(dtype=object) == True  # noqa: E712 (null -> False)
+    )
+    canon_fast = pc.replace_substring_regex(
+        arr, pattern=_VOLATILE_REPLACE_PAT, replacement=_VOLATILE_REPLACEMENT
+    )
+    out = pd.Series(
+        canon_fast.to_pandas().to_numpy(dtype=object), index=s.index, dtype=object
+    ).where(fast_np)
+    slow = ~fast_np
+    if slow.any():
+        out[slow] = s[slow].map(
+            lambda u: canonicalize_url(u) if u is not None else None
+        )
+    return out
+
+
 @pandas_udf(StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
     """Arrow-batched canonicalization (the C1+C2 vectorized UDF)."""
-    return urls.map(lambda u: canonicalize_url(u) if u is not None else None)
+    return canonicalize_series(urls)
+
+
+def canonical_host(canonical_url: str) -> str:
+    """Host (netloc, port preserved) of an already-canonical URL.
+
+    THE host definition shared by engine and simulator: a canonical URL is
+    always ``scheme://netloc/path...``, so the netloc is the third
+    ``/``-separated field. The simulator's ``_host`` uses the identical
+    expression — deriving host any other way (e.g. ``F.parse_url('HOST')``,
+    which strips ports) reintroduces the engine/simulator parity hole on
+    ported URLs.
+    """
+    return canonical_url.split("/", 3)[2]
+
+
+@pandas_udf(
+    StructType(
+        [
+            StructField("canonical_url", StringType()),
+            StructField("host", StringType()),
+        ]
+    )
+)
+def canonicalize_with_host_udf(urls: pd.Series) -> pd.DataFrame:
+    """Canonical URL + politeness host in one Arrow batch.
+
+    One UDF instead of (canonicalize UDF + JVM ``parse_url``): the host
+    falls out of the canonical string for free, and both columns cross the
+    Arrow boundary in a single struct — the hot-path identity derivation of
+    the crawl kernel.
+    """
+    canon = canonicalize_series(urls)
+    # netloc = third '/'-field of the canonical URL (== canonical_host),
+    # vectorized; NaN propagates for unparseable inputs
+    host = canon.str.split("/", n=3).str[2]
+    return pd.DataFrame({"canonical_url": canon, "host": host})
 
 
 @pandas_udf(StringType())

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
-from ..functions.urls import canonicalize_udf, url_hash_col
+from ..functions.urls import canonicalize_with_host_udf, url_hash_col
 from ..state import SnapshotStore
 from .dedup import BloomStore, not_seen_bloom, not_seen_exact
 from .extract import extract_outlinks
@@ -88,19 +88,36 @@ class CrawlEngine:
     # ------------------------------------------------------------------ utils
 
     def _with_url_identity(self, df: DataFrame, url_col: str) -> DataFrame:
-        """raw url column -> canonical_url, url_hash, host (C1+C2+C3)."""
+        """raw url column -> canonical_url, url_hash, host (C1+C2+C3).
+
+        Host comes out of the canonicalize UDF itself (one Arrow pass), and
+        is defined as the canonical URL's netloc — port preserved — exactly
+        as the simulator derives it (``urls.canonical_host``). ``parse_url
+        ('HOST')`` would strip ports and diverge.
+        """
+        keep = [c for c in df.columns if c != url_col]
         return (
-            df.withColumn("canonical_url", canonicalize_udf(F.col(url_col)))
+            df.withColumn("_ch", canonicalize_with_host_udf(F.col(url_col)))
+            .select(*keep, "_ch.canonical_url", "_ch.host")
             .filter(F.col("canonical_url").isNotNull())
             .withColumn("url_hash", url_hash_col(F.col("canonical_url")))
-            .withColumn("host", F.parse_url("canonical_url", F.lit("HOST")))
         )
 
     def _robots_allowed(self, df: DataFrame) -> DataFrame:
-        """Drop robots-disallowed URLs (broadcast dimension join, J6)."""
+        """Drop robots-disallowed URLs (broadcast dimension join, J6).
+
+        Path extraction is a regexp, not ``parse_url``: java.net.URI rejects
+        URLs with raw non-URI chars (returns null), which would silently
+        drop rows the simulator keeps. The regexp mirrors the simulator's
+        string slicing exactly: everything from the first ``/`` after the
+        netloc up to ``?``.
+        """
         rules = self.robots.select("host", "disallow_prefixes")
         with_rules = df.join(F.broadcast(rules), "host", "left")
-        path = F.parse_url("canonical_url", F.lit("PATH"))
+        path = F.coalesce(
+            F.regexp_extract("canonical_url", r"^[^:]+://[^/]+([^?]*)", 1),
+            F.lit("/"),
+        )
         blocked = F.exists(
             "disallow_prefixes", lambda p: path.startswith(p)
         )

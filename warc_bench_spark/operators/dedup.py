@@ -39,6 +39,26 @@ def _h1h2(url_hash_hex: str) -> tuple[int, int]:
     return h1, h2
 
 
+def _hex_slices_u64(hexes: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) = (hex[:15], hex[15:30] | 1) as uint64 — fully vectorized.
+
+    The per-element ``int(s, 16)`` this replaces was row-at-a-time Python
+    inside the Arrow batch (the kernel's hottest inner loop). Here the hex
+    strings become a byte matrix; digits decode with one arithmetic pass and
+    fold column-wise (30 vector ops total, independent of row count).
+    """
+    b = np.frombuffer(
+        np.asarray(hexes, dtype="S30").tobytes(), dtype=np.uint8
+    ).reshape(-1, 30)
+    d = np.where(b >= 97, b - 87, b - 48).astype(np.uint64)  # 'a'-'f' | '0'-'9'
+    h1 = np.zeros(len(d), dtype=np.uint64)
+    h2 = np.zeros(len(d), dtype=np.uint64)
+    for j in range(15):
+        h1 = (h1 << np.uint64(4)) | d[:, j]
+        h2 = (h2 << np.uint64(4)) | d[:, j + 15]
+    return h1, h2 | np.uint64(1)
+
+
 def not_seen_exact(candidates: DataFrame, seen: DataFrame) -> DataFrame:
     """The authoritative dedup: left anti join on url_hash (D1/S11).
 
@@ -60,18 +80,9 @@ def build_bloom_shards(seen: DataFrame, cfg: CrawlConfig) -> dict[int, bytes]:
     k = cfg.bloom_hashes
     n_shards = cfg.bloom_shards
 
-    def _build(pdf_iter):
-        for pdf in [pdf_iter] if isinstance(pdf_iter, pd.DataFrame) else pdf_iter:
-            yield pdf
-
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(m // 8, dtype=np.uint8)
-        hexes = pdf["url_hash"]
-        h1 = hexes.str.slice(0, 15).apply(lambda s: int(s, 16)).to_numpy(dtype=np.uint64)
-        h2 = (
-            hexes.str.slice(15, 30).apply(lambda s: int(s, 16)).to_numpy(dtype=np.uint64)
-            | np.uint64(1)
-        )
+        h1, h2 = _hex_slices_u64(pdf["url_hash"])
         for i in range(k):
             pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
             np.bitwise_or.at(bits, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8))
@@ -102,11 +113,7 @@ def bloom_maybe_udf(spark: SparkSession, shards: dict[int, bytes], cfg: CrawlCon
     @pandas_udf(BooleanType())
     def maybe_seen(hexes: pd.Series) -> pd.Series:
         local = bshards.value
-        h1 = hexes.str.slice(0, 15).apply(lambda s: int(s, 16)).to_numpy(dtype=np.uint64)
-        h2 = (
-            hexes.str.slice(15, 30).apply(lambda s: int(s, 16)).to_numpy(dtype=np.uint64)
-            | np.uint64(1)
-        )
+        h1, h2 = _hex_slices_u64(hexes)
         shard_ids = (h1 % np.uint64(n_shards)).astype(np.int64)
         out = np.zeros(len(hexes), dtype=bool)
         for sid in np.unique(shard_ids):
@@ -154,12 +161,17 @@ class BloomStore:
     The seen set only ever grows, and Bloom bitmaps OR monotonically, so
     instead of rebuilding the shards from the full url_seen table every wave
     (a full-table aggregation), each wave ORs in the bitmap of its *delta*
-    and writes the merged shards next to the snapshot manifest. Crash
-    safety: shards are advisory — a stale (pre-crash) shard set only
-    produces extra false-negatives... which here means extra rows routed to
-    the exact anti-join, never a wrong answer (§7.4 Bloom exactness
-    discipline). Files are stamped with the wave they cover; resume loads
-    the newest stamp <= the committed wave.
+    and writes the merged shards next to the snapshot manifest.
+
+    Crash safety — read carefully, this is the safety-critical invariant: a
+    stale (pre-crash) shard set produces false NEGATIVES, and in
+    ``not_seen_bloom`` a false negative BYPASSES the exact anti-join — a
+    seen URL would be re-admitted. Stale shards are therefore only safe
+    because ``crawl.py`` checks the wave stamp before use and rebuilds from
+    the full url_seen table whenever ``stamp < wave - 1`` (see
+    ``CrawlEngine._run_wave`` step 1). Do not remove that stamp gate; the
+    shards alone are NOT advisory. Files are stamped with the wave they
+    cover; resume loads the newest stamp <= the committed wave.
     """
 
     def __init__(self, root: str, cfg: CrawlConfig):
@@ -180,14 +192,22 @@ class BloomStore:
 
         best = -1
         for name in os.listdir(self.dir):
-            if name.startswith("shards_") and name.endswith(".npz"):
+            # crash leftovers look like 'shards_000005.npz.tmp.npz' — they
+            # must never be selected (a truncated npz would fail np.load)
+            if name.startswith("shards_") and name.endswith(".npz") and ".tmp" not in name:
                 w = int(name[7:13])
                 if w <= up_to_wave and w > best:
                     best = w
         if best < 0:
             return {}, -1
-        data = np.load(self._path(best))
-        return {int(k): data[k].tobytes() for k in data.files}, best
+        try:
+            data = np.load(self._path(best))
+            return {int(k): data[k].tobytes() for k in data.files}, best
+        except Exception:
+            # unreadable shard file (e.g. torn write): fall back to "no
+            # shards" — the caller's stamp gate then rebuilds from the full
+            # seen table, which is always correct
+            return {}, -1
 
     def update(
         self, shards: dict[int, bytes], delta: DataFrame, wave: int

@@ -25,7 +25,7 @@ import re
 from dataclasses import dataclass, field
 
 from .config import CrawlConfig
-from .functions.urls import URL_PATTERN, canonicalize_url, sha256_hex
+from .functions.urls import URL_PATTERN, canonical_host, canonicalize_url, sha256_hex
 from .synth import Corpus, crawl_delay_ms, is_allowed
 
 _URL_RE = re.compile(URL_PATTERN)
@@ -42,7 +42,9 @@ class SimResult:
 
 
 def _host(canonical: str) -> str:
-    return canonical.split("/", 3)[2]
+    # the one shared host definition (netloc, port preserved) — see
+    # urls.canonical_host; the engine's identity UDF uses the same function
+    return canonical_host(canonical)
 
 
 def simulate_crawl(corpus: Corpus, cfg: CrawlConfig, max_waves: int | None = None) -> SimResult:

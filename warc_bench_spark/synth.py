@@ -258,10 +258,17 @@ def write_corpus(spark: SparkSession, corpus: Corpus, out_dir: str) -> None:
 
 
 def is_allowed(canonical_url: str, robots: dict[str, tuple]) -> bool:
-    """Robots check shared by simulator + tests: path-prefix disallow."""
+    """Robots check shared by simulator + tests: path-prefix disallow.
+
+    The query string is stripped before the prefix match so the path here
+    is exactly what the engine's ``F.parse_url(url, 'PATH')`` yields —
+    keeping it would let a disallow prefix match into ``?query`` bytes on
+    this side only (a latent engine/simulator parity hole).
+    """
     parts = canonical_url.split("/", 3)
     host = parts[2]
     path = "/" + (parts[3] if len(parts) > 3 else "")
+    path = path.partition("?")[0]
     rule = robots.get(host)
     if rule is None:
         return True
