@@ -1,0 +1,119 @@
+"""From-scratch media codecs (M4) + real-bytes multimodal operators (M1)."""
+
+import numpy as np
+import pytest
+
+from warc_bench_spark.functions.codecs import (
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    image_mse,
+    resize_nearest,
+    screenshots_differ,
+    sniff_media_type,
+)
+
+rng = np.random.default_rng(7)
+
+
+def test_bmp_roundtrip_with_row_padding():
+    img = rng.integers(0, 256, (9, 5, 3), dtype=np.uint8)  # 5*3=15 -> 1-byte pad
+    data = encode_bmp(img)
+    assert sniff_media_type(data) == "image/bmp"
+    assert (decode_bmp(data) == img).all()
+
+
+def test_ppm_roundtrip_and_comments():
+    img = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    data = encode_ppm(img)
+    assert (decode_ppm(data) == img).all()
+    with_comment = data.replace(b"P6\n", b"P6\n# a comment\n", 1)
+    assert (decode_ppm(with_comment) == img).all()
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    stereo = (rng.standard_normal((333, 2)) * 5000).astype(np.int16)
+    dec, rate = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100 and (dec == stereo).all()
+    mono = (rng.standard_normal(100) * 100).astype(np.int16)
+    dec2, rate2 = decode_wav(encode_wav(mono, 8000))
+    assert rate2 == 8000 and (dec2[:, 0] == mono).all()
+
+
+def test_screenshots_differ_reference_semantics():
+    """data_utils.py:45-73: size mismatch -> differ; normalized MSE > 0.01
+    -> differ; tiny single-pixel change -> same."""
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert not screenshots_differ(img, img)
+    assert screenshots_differ(img, img[:16])
+    tweaked = img.copy()
+    tweaked[0, 0] = 255 - tweaked[0, 0]
+    assert not screenshots_differ(img, tweaked)
+    assert screenshots_differ(img, 255 - img)
+    assert image_mse(img, img) == 0.0
+
+
+def test_resize_nearest_shape_and_identity():
+    img = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    assert (resize_nearest(img, 8, 6) == img).all()
+    up = resize_nearest(img, 16, 12)
+    assert up.shape == (16, 12, 3) and (up[::2, ::2] == img).all()
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = []
+    for i in range(6):
+        img = rng.integers(0, 256, (10 + i, 8, 3), dtype=np.uint8)
+        rows.append((f"img{i}", bytearray(encode_bmp(img))))
+    for i in range(3):
+        s = (rng.standard_normal((200 + 50 * i, 2)) * 3000).astype(np.int16)
+        rows.append((f"wav{i}", bytearray(encode_wav(s, 16000))))
+    return spark.createDataFrame(rows, "media_ref string, content binary")
+
+
+def test_decode_media_meta_bytes(spark, media_df):
+    from warc_bench_spark.operators.multimodal import decode_media_meta_bytes
+
+    meta = {r["media_ref"]: r for r in decode_media_meta_bytes(media_df).collect()}
+    assert meta["img0"]["media_type"] == "image/bmp"
+    assert (meta["img0"]["width"], meta["img0"]["height"]) == (8, 10)
+    assert meta["img3"]["height"] == 13
+    assert meta["wav1"]["media_type"] == "audio/wav"
+    assert meta["wav1"]["n_frames"] == 250 and meta["wav1"]["width"] is None
+
+
+def test_extract_media_features_bytes(spark, media_df):
+    from warc_bench_spark.operators.multimodal import extract_media_features_bytes
+
+    feats = {
+        r["media_ref"]: r["feature"]
+        for r in extract_media_features_bytes(media_df).collect()
+    }
+    assert len(feats) == 9 and all(len(v) == 8 for v in feats.values())
+    # image features are real pixel means in [0, 1]
+    for i in range(6):
+        assert all(0.0 <= x <= 1.0 for x in feats[f"img{i}"][:4])
+    # audio: duration = n/rate, channels recorded
+    assert feats["wav0"][4] == pytest.approx(200 / 16000)
+    assert feats["wav0"][5] == 2.0
+
+
+def test_screenshots_differ_df(spark):
+    from warc_bench_spark.operators.multimodal import screenshots_differ_df
+
+    base = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+    tweak = base.copy()
+    tweak[0, 0] = 255 - tweak[0, 0]
+    rows = [
+        ("same", bytearray(encode_bmp(base)), bytearray(encode_bmp(base))),
+        ("tiny", bytearray(encode_bmp(base)), bytearray(encode_bmp(tweak))),
+        ("inverted", bytearray(encode_bmp(base)), bytearray(encode_bmp(255 - base))),
+        ("resized", bytearray(encode_bmp(base)), bytearray(encode_bmp(base[:10]))),
+    ]
+    df = spark.createDataFrame(rows, "pair string, before binary, after binary")
+    got = {r["pair"]: r["changed"] for r in screenshots_differ_df(df).collect()}
+    assert got == {"same": False, "tiny": False, "inverted": True, "resized": True}

@@ -92,3 +92,57 @@ def test_metrics_lineage_recorded(spark, corpus_dir, tmp_path):
     m = eng.metrics()
     metrics = {r["metric"] for r in m.collect()}
     assert {"admitted", "new_urls", "frontier_left", "frontier_partition_rows"} <= metrics
+
+
+def test_golden_with_ports_and_unicode_whitespace(spark, tmp_path):
+    """Engine/simulator parity on the corpus shapes synth never emits:
+    ported hosts (distinct politeness domains from the same hostname, with
+    different crawl delays and robots rules) and Unicode whitespace inside
+    span text (the pinned URL_PATTERN must tokenize identically in Java and
+    Python — an NBSP glues two URLs into ONE token on both sides)."""
+    from warc_bench_spark.functions.urls import canonicalize_url, sha256_hex
+    from warc_bench_spark.synth import Corpus, write_corpus
+
+    h, hp = "h1.example.com", "h1.example.com:8080"
+    text = (
+        f"a https://{h}/a/2 b https://{hp}/a/2 "
+        f"glued https://{h}/g/1\u00a0https://{hp}/g/2 tail "
+        f"blocked https://{h}/priv/x ok https://{hp}/priv/x ."
+    )
+    pages = {}
+    documents = {}
+    for canon_src in (f"https://{h}/a/1", f"https://{hp}/a/1"):
+        canon = canonicalize_url(canon_src)
+        doc_id = sha256_hex(canon)[:20]
+        pages[canon] = doc_id
+        documents[doc_id] = [
+            ("text", text, None, 0),
+            ("media", None, "blob://x", 1),
+        ]
+    corpus = Corpus(
+        urls=[],
+        canonicals=[],
+        pages=pages,
+        documents=documents,
+        outlinks={},
+        seeds=[
+            (f"https://{h}/a/1", h, "g1", 0),
+            (f"{hp}/a/1", hp, "g2", 0),  # scheme-less, ported
+        ],
+        robots={h: (["/priv"], 500), hp: ([], 1000)},
+        hosts=[h, hp],
+    )
+    d = str(tmp_path / "corpus")
+    write_corpus(spark, corpus, d)
+    cfg = CrawlConfig(seed=1, budget_per_wave=50, max_waves=3)
+    eng = CrawlEngine(spark, cfg, d, str(tmp_path / "state"), use_bloom=False)
+    eng.run()
+    got = log_tuples(eng)
+    golden = simulate_crawl(corpus, cfg)
+    assert got == [(s, w, c, h_, v, p) for (s, w, c, h_, v, p) in golden.crawl_log]
+    hosts_seen = {g[3] for g in got}
+    assert {h, hp} <= hosts_seen  # ported host is its own politeness domain
+    glued = [g[2] for g in got if "\u00a0" in g[2]]
+    assert glued, "the NBSP-glued token must crawl as ONE URL on both sides"
+    assert not any("/priv" in g[2] and g[3] == h for g in got)
+    assert any(g[2].endswith("/priv/x") and g[3] == hp for g in got)

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
 from ..functions.urls import canonicalize_with_host_udf, url_hash_col
-from ..state import SnapshotStore
+from ..state import make_store
 from .dedup import BloomStore, not_seen_bloom, not_seen_exact
 from .extract import extract_outlinks
 from .politeness import schedule_wave
@@ -78,8 +78,12 @@ class CrawlEngine:
         self.seen_filter = seen_filter or ("bloom" if use_bloom else None)
         self.use_bloom = self.seen_filter == "bloom"
         self.force_rank = force_rank
-        self.store = SnapshotStore(state_dir)
+        self.store = make_store(spark, state_dir)
         self.blooms = BloomStore(state_dir, cfg)
+        if self.seen_filter == "cuckoo":
+            from .cuckoo import CuckooStore
+
+            self.cuckoos = CuckooStore(state_dir, cfg)
         self.pages = spark.read.parquet(os.path.join(corpus_dir, "pages"))
         self.documents = spark.read.parquet(os.path.join(corpus_dir, "documents"))
         self.seeds = spark.read.parquet(os.path.join(corpus_dir, "seeds"))
@@ -169,6 +173,7 @@ class CrawlEngine:
         #    the skew-aware rank consumes candidates twice (window + offsets
         #    histogram), and admission reuses them — one materialization.
         shards: dict[int, bytes] = {}
+        cuckoo_payload = {}
         if self.use_bloom and seen_nonempty:
             # Bloom false NEGATIVES would skip the exact anti-join and
             # re-admit seen URLs, so the shard set must cover every
@@ -181,9 +186,14 @@ class CrawlEngine:
                 shards = build_bloom_shards(seen, cfg)
             cand = not_seen_bloom(spark, frontier, seen, cfg, shards=shards or None)
         elif self.seen_filter == "cuckoo" and seen_nonempty:
-            from .cuckoo import CuckooShards, not_seen_cuckoo
+            from .cuckoo import CuckooShards, insert_distributed, not_seen_cuckoo
 
-            filt = CuckooShards(cfg).insert_df(seen)
+            # same stamp discipline as Bloom (false negatives bypass the
+            # exact join); build/extend is distributed per shard
+            cuckoo_payload, stamp = self.cuckoos.load(up_to_wave=wave)
+            if stamp < wave - 1:
+                cuckoo_payload = insert_distributed(spark, seen, cfg)
+            filt = CuckooShards(cfg, payload=cuckoo_payload)
             cand = not_seen_cuckoo(spark, frontier, seen, filt)
         else:
             cand = not_seen_exact(frontier, seen)
@@ -206,18 +216,21 @@ class CrawlEngine:
         # 3. admission: top-budget of the total order; seq assignment.
         #    budget is bounded, so this is TakeOrderedAndProject, not a full
         #    sort; row_number over the bounded admitted set is cheap.
+        #    The admitted COUNT rides as an Observation on the first snapshot
+        #    write (no dedicated count() job); if the wave turns out empty,
+        #    the already-written url_seen delta dir stays an unpublished
+        #    orphan — exactly Iceberg's uncommitted-data-file semantics.
+        from pyspark.sql import Observation
+
         order = [F.col("vt").asc(), F.col("priority").asc(), F.col("url_hash").asc()]
+        obs_admitted = Observation()
         admitted = (
             sched.orderBy(*order)
             .limit(cfg.budget_per_wave)
             .withColumn("seq", F.row_number().over(Window.orderBy(*order)) + F.lit(seq_start))
+            .observe(obs_admitted, F.count(F.lit(1)).alias("n"))
             .cache()
         )
-        n_admitted = admitted.count()
-        if n_admitted == 0:
-            admitted.unpersist()
-            cand.unpersist()
-            return WaveStats(wave, 0, 0, 0)
 
         log_delta = admitted.select(
             F.col("seq").cast("long"),
@@ -230,6 +243,27 @@ class CrawlEngine:
         seen_delta = admitted.select(
             "url_hash", "canonical_url", F.lit(wave).alias("wave")
         )
+
+        # first write triggers the admitted cache + observation
+        compacting = (wave + 1) % cfg.compact_every == 0
+        replace_rels: dict[str, str] = {}
+        append_rels: dict[str, str] = {}
+        if compacting:
+            replace_rels["url_seen"] = self.store.write_table(
+                "url_seen",
+                seen.unionByName(seen_delta).repartition(cfg.shuffle_partitions, "url_hash"),
+                wave + 1,
+                mode="replace",
+            )
+        else:
+            append_rels["url_seen"] = self.store.write_table(
+                "url_seen", seen_delta, wave + 1, mode="append"
+            )
+        n_admitted = int(obs_admitted.get["n"])
+        if n_admitted == 0:
+            admitted.unpersist()
+            cand.unpersist()
+            return WaveStats(wave, 0, 0, 0)
 
         # 4. fetch + expand: admitted is budget-bounded -> broadcast side
         fetched = F.broadcast(admitted.select("canonical_url", "priority")).join(
@@ -252,12 +286,37 @@ class CrawlEngine:
             .withColumn("discovered_wave", F.lit(wave + 1))
             .select(*FRONTIER_COLS)
         )
-        next_frontier = remaining.select(*FRONTIER_COLS).unionByName(fresh)
-        next_frontier = next_frontier.repartition(
-            cfg.shuffle_partitions, "url_hash"
-        ).cache()
-        n_frontier = next_frontier.count()
+        # the frontier count rides the frontier WRITE as an Observation —
+        # no dedicated count() job (round-1 had ~8 actions/wave; the two
+        # counts now piggyback on writes that happen anyway)
+        obs_frontier = Observation()
+        next_frontier = (
+            remaining.select(*FRONTIER_COLS)
+            .unionByName(fresh)
+            .repartition(cfg.shuffle_partitions, "url_hash")
+            .observe(obs_frontier, F.count(F.lit(1)).alias("n"))
+            .cache()
+        )
+        replace_rels["frontier"] = self.store.write_table(
+            "frontier", next_frontier, wave + 1, mode="replace"
+        )
+        n_frontier = int(obs_frontier.get["n"])
         n_new = n_frontier - (frontier_count - n_admitted)
+
+        if compacting:
+            # periodic rewrite of the append tables as one compact version
+            # (small-files control; Iceberg's rewrite_data_files)
+            old_log = self.store.read_table(spark, "crawl_log")
+            full_log = (
+                old_log.unionByName(log_delta) if old_log is not None else log_delta
+            )
+            replace_rels["crawl_log"] = self.store.write_table(
+                "crawl_log", full_log.repartition(4), wave + 1, mode="replace"
+            )
+        else:
+            append_rels["crawl_log"] = self.store.write_table(
+                "crawl_log", log_delta, wave + 1, mode="append"
+            )
 
         # 6. metrics + per-partition lineage (X10 analog / north-star lineage)
         lineage = next_frontier.groupBy(
@@ -278,27 +337,16 @@ class CrawlEngine:
                 "wave int, metric string, key string, value long",
             )
         )
+        append_rels["metrics"] = self.store.write_table(
+            "metrics", metrics, wave + 1, mode="append"
+        )
 
-        # 7. atomic snapshot commit (frontier replace, the rest append).
-        #    Periodically the append tables are rewritten as one compact
-        #    version (small-files control; Iceberg's rewrite_data_files).
-        replace_tables = {"frontier": next_frontier}
-        append_tables = {"url_seen": seen_delta, "crawl_log": log_delta, "metrics": metrics}
-        if (wave + 1) % cfg.compact_every == 0:
-            replace_tables["url_seen"] = seen.unionByName(seen_delta).repartition(
-                cfg.shuffle_partitions, "url_hash"
-            )
-            old_log = self.store.read_table(spark, "crawl_log")
-            full_log = (
-                old_log.unionByName(log_delta) if old_log is not None else log_delta
-            )
-            replace_tables["crawl_log"] = full_log.repartition(4)
-            for name in replace_tables:
-                append_tables.pop(name, None)
-        self.store.commit(
-            wave=wave + 1,
-            replace=replace_tables,
-            append=append_tables,
+        # 7. atomic snapshot publish: every data dir above exists; one
+        #    manifest rename makes them all visible together.
+        self.store.publish(
+            wave + 1,
+            replace_rels,
+            append_rels,
             extra={
                 "next_wave": wave + 1,
                 "seq_end": seq_start + n_admitted,
@@ -310,6 +358,8 @@ class CrawlEngine:
             # after the snapshot commit so a crash between the two leaves
             # shards stale-behind, which the stamp check repairs on resume
             self.blooms.update(shards, seen_delta, wave)
+        elif self.seen_filter == "cuckoo":
+            self.cuckoos.update(spark, cuckoo_payload, seen_delta, wave)
         admitted.unpersist()
         next_frontier.unpersist()
         cand.unpersist()

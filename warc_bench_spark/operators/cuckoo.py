@@ -18,8 +18,20 @@ already carries:
     i1  = int(hex[:15], 16) & (m - 1)
     i2  = i1 XOR (fp * 0x5bd1e995) & (m - 1)          # partial-key cuckoo
 
-Insertion is a bounded-kick loop (numpy state, per-delta volumes are small
-— one politeness budget per wave); the probe is fully vectorized.
+Build is DISTRIBUTED, mirroring the Bloom pattern: keys group by
+``hash64 % n_shards`` and each shard's table is built (or incrementally
+extended) inside one ``applyInPandas`` task against a broadcast copy of the
+existing shard; only the finished ~1 MB tables return to the driver. The
+seen table itself never materializes on the driver — at the 10^10-URL
+design point that was the round-1 defect in this module. Table layout may
+vary with within-shard insertion order (Spark does not fix group row
+order), but membership semantics never do.
+
+``CuckooStore`` persists the shard set next to the snapshots with the SAME
+wave-stamp discipline as ``BloomStore`` — and the same safety-critical
+caveat: a stale shard set yields false negatives which bypass the exact
+anti-join, so the caller (``crawl.py``) must rebuild whenever
+``stamp < wave - 1``.
 """
 
 from __future__ import annotations
@@ -32,21 +44,21 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
 from ..config import CrawlConfig
-from .dedup import not_seen_exact
+from .dedup import hex_slices_u64, not_seen_exact
 
 SLOTS = 4
 MAX_KICKS = 500
 MIX = 0x5BD1E995
+DEFAULT_M_BUCKETS = 1 << 17
+
+# payload: shard id -> (m x SLOTS uint16 table, saturated flag)
+Payload = dict[int, tuple[np.ndarray, bool]]
 
 
 def _parts(hexes: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    h1 = hexes.str.slice(0, 15).apply(lambda s: int(s, 16)).to_numpy(dtype=np.int64)
-    fp = (
-        hexes.str.slice(15, 30).apply(lambda s: int(s, 16)).to_numpy(dtype=np.int64)
-        % 65535
-        + 1
-    )
-    return h1, fp
+    """(bucket hash, nonzero 16-bit fingerprint) — vectorized hex decode."""
+    h1u, h2u = hex_slices_u64(hexes)
+    return h1u.astype(np.int64), (h2u % np.uint64(65535)).astype(np.int64) + 1
 
 
 def _alt(i: np.ndarray, fp: np.ndarray, mask: int) -> np.ndarray:
@@ -105,31 +117,80 @@ class CuckooShard:
         return hit
 
 
+def _shard_col(n_shards: int):
+    # same sharding as the Bloom shards: int(hex[:15], 16) % n_shards
+    return (
+        F.conv(F.substring("url_hash", 1, 15), 16, 10).cast("long") % n_shards
+    ).cast("int")
+
+
+def insert_distributed(
+    spark: SparkSession,
+    df: DataFrame,
+    cfg: CrawlConfig,
+    m_buckets: int = DEFAULT_M_BUCKETS,
+    existing: Payload | None = None,
+) -> Payload:
+    """Insert ``df.url_hash`` into (a copy of) the shard set, per-shard on
+    executors; returns the merged payload. Untouched shards pass through."""
+    n_shards = cfg.bloom_shards
+    bexist = spark.sparkContext.broadcast(
+        {s: (t.tobytes(), sat) for s, (t, sat) in (existing or {}).items()}
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["_shard"].iloc[0])
+        prior = bexist.value.get(sid)
+        table = (
+            np.frombuffer(prior[0], dtype=np.uint16).reshape(m_buckets, SLOTS).copy()
+            if prior
+            else None
+        )
+        sh = CuckooShard(m_buckets, table=table, saturated=bool(prior[1]) if prior else False)
+        h1, fp = _parts(pdf["url_hash"])
+        sh.insert_many(h1, fp)
+        return pd.DataFrame(
+            {"shard": [sid], "table": [sh.table.tobytes()], "saturated": [sh.saturated]}
+        )
+
+    rows = (
+        df.select("url_hash")
+        .withColumn("_shard", _shard_col(n_shards))
+        .groupBy("_shard")
+        .applyInPandas(build, "shard int, table binary, saturated boolean")
+        .collect()
+    )
+    merged: Payload = dict(existing or {})
+    for r in rows:
+        merged[r["shard"]] = (
+            np.frombuffer(r["table"], dtype=np.uint16).reshape(m_buckets, SLOTS),
+            bool(r["saturated"]),
+        )
+    return merged
+
+
 class CuckooShards:
     """n_shards CuckooShard keyed by hash64 % n_shards (broadcastable)."""
 
-    def __init__(self, cfg: CrawlConfig, m_buckets: int = 1 << 17):
+    def __init__(
+        self,
+        cfg: CrawlConfig,
+        m_buckets: int = DEFAULT_M_BUCKETS,
+        payload: Payload | None = None,
+    ):
         self.cfg = cfg
         self.m = m_buckets
-        self.shards: dict[int, CuckooShard] = {}
+        self.payload: Payload = payload or {}
 
-    def insert_df(self, seen: DataFrame) -> "CuckooShards":
-        rows = seen.select("url_hash").toPandas()["url_hash"]
-        if len(rows) == 0:
-            return self
-        h1, fp = _parts(rows)
-        sid = h1 % self.cfg.bloom_shards
-        for s in np.unique(sid):
-            sel = sid == s
-            self.shards.setdefault(int(s), CuckooShard(self.m)).insert_many(
-                h1[sel], fp[sel]
-            )
+    def insert_df(self, spark: SparkSession, seen: DataFrame) -> "CuckooShards":
+        """Distributed insert of a DataFrame's url_hash column."""
+        self.payload = insert_distributed(
+            spark, seen, self.cfg, self.m, existing=self.payload
+        )
         return self
 
     def maybe_udf(self, spark: SparkSession):
-        payload = {
-            s: (sh.table.copy(), sh.saturated) for s, sh in self.shards.items()
-        }
+        payload = {s: (t.copy(), sat) for s, (t, sat) in self.payload.items()}
         n_shards = self.cfg.bloom_shards
         m = self.m
         b = spark.sparkContext.broadcast(payload)
@@ -151,6 +212,69 @@ class CuckooShards:
             return pd.Series(out)
 
         return maybe_seen
+
+
+class CuckooStore:
+    """Incremental persisted cuckoo shard set (BloomStore twin).
+
+    Same crash-safety contract: files are wave-stamped; a stale set causes
+    false NEGATIVES, so the caller must rebuild when ``stamp < wave - 1``
+    (see BloomStore's docstring for why this gate is load-bearing)."""
+
+    def __init__(self, root: str, cfg: CrawlConfig, m_buckets: int = DEFAULT_M_BUCKETS):
+        import os
+
+        self.dir = os.path.join(root, "_cuckoo")
+        os.makedirs(self.dir, exist_ok=True)
+        self.cfg = cfg
+        self.m = m_buckets
+
+    def _path(self, wave: int) -> str:
+        import os
+
+        return os.path.join(self.dir, f"shards_{wave:06d}.npz")
+
+    def load(self, up_to_wave: int) -> tuple[Payload, int]:
+        import os
+
+        best = -1
+        for name in os.listdir(self.dir):
+            if name.startswith("shards_") and name.endswith(".npz") and ".tmp" not in name:
+                w = int(name[7:13])
+                if w <= up_to_wave and w > best:
+                    best = w
+        if best < 0:
+            return {}, -1
+        try:
+            data = np.load(self._path(best))
+            sat = set(int(x) for x in data["_sat"])
+            payload = {
+                int(k[1:]): (data[k].reshape(self.m, SLOTS), int(k[1:]) in sat)
+                for k in data.files
+                if k.startswith("t")
+            }
+            return payload, best
+        except Exception:
+            return {}, -1  # torn write -> caller's stamp gate rebuilds
+
+    def save(self, payload: Payload, wave: int) -> None:
+        import os
+
+        tmp = self._path(wave) + ".tmp.npz"
+        arrays = {f"t{sid}": t for sid, (t, _sat) in payload.items()}
+        arrays["_sat"] = np.array(
+            [sid for sid, (_t, sat) in payload.items() if sat], dtype=np.int64
+        )
+        np.savez(tmp.removesuffix(".npz"), **arrays)
+        os.rename(tmp, self._path(wave))
+
+    def update(
+        self, spark: SparkSession, payload: Payload, delta: DataFrame, wave: int
+    ) -> Payload:
+        """Insert the wave's seen delta (distributed) and persist."""
+        merged = insert_distributed(spark, delta, self.cfg, self.m, existing=payload)
+        self.save(merged, wave)
+        return merged
 
 
 def not_seen_cuckoo(

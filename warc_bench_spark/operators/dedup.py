@@ -39,13 +39,14 @@ def _h1h2(url_hash_hex: str) -> tuple[int, int]:
     return h1, h2
 
 
-def _hex_slices_u64(hexes: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """(h1, h2) = (hex[:15], hex[15:30] | 1) as uint64 — fully vectorized.
+def hex_slices_u64(hexes: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(hex[:15], hex[15:30]) as uint64 — fully vectorized.
 
     The per-element ``int(s, 16)`` this replaces was row-at-a-time Python
     inside the Arrow batch (the kernel's hottest inner loop). Here the hex
     strings become a byte matrix; digits decode with one arithmetic pass and
     fold column-wise (30 vector ops total, independent of row count).
+    Shared with the cuckoo filter (operators/cuckoo.py).
     """
     b = np.frombuffer(
         np.asarray(hexes, dtype="S30").tobytes(), dtype=np.uint8
@@ -56,6 +57,12 @@ def _hex_slices_u64(hexes: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     for j in range(15):
         h1 = (h1 << np.uint64(4)) | d[:, j]
         h2 = (h2 << np.uint64(4)) | d[:, j + 15]
+    return h1, h2
+
+
+def _hex_slices_u64(hexes: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Bloom variant: (h1, h2|1) — h2 forced odd for double hashing."""
+    h1, h2 = hex_slices_u64(hexes)
     return h1, h2 | np.uint64(1)
 
 

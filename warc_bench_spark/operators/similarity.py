@@ -84,28 +84,71 @@ def signature_col(vec_col, planes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
+def _band_structs(vec_col, planes: list[list[float]], band_bits: int, flips: bool):
+    """One (band, sig) struct per band; with ``flips``, also every 1-bit
+    neighbor of the signature (multi-probe, probe side only)."""
+    out = []
+    n_bands = len(planes) // band_bits
+    for b in range(n_bands):
+        sub = planes[b * band_bits : (b + 1) * band_bits]
+        sig = signature_col(vec_col, sub)
+        variants = [sig]
+        if flips:
+            variants += [sig.bitwiseXOR(F.lit(1 << j)) for j in range(band_bits)]
+        out += [
+            F.struct(F.lit(b).alias("band"), v.cast("long").alias("sig"))
+            for v in variants
+        ]
+    return out
+
+
 def lsh_knn(
     embeddings: DataFrame,
     probes: DataFrame,
+    dim: int,
     k: int = 10,
-    n_bits: int = 8,
+    band_bits: int = 8,
+    n_bands: int = 4,
+    multi_probe: bool = True,
     seed: int = 42,
-    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
     probe_vec_col: str = "probe_vec",
 ) -> DataFrame:
-    """Approximate top-k: bucket join on the LSH signature, exact cosine
-    re-rank inside buckets. At scale the bucket join replaces the N×P
-    cross join with an equi-join Catalyst can shuffle-partition on."""
-    if dim is None:
-        dim = len(probes.select(probe_vec_col).first()[0])
-    planes = hyperplanes(dim, n_bits, seed)
-    e_sig = embeddings.withColumn("bucket", signature_col(F.col(vec_col), planes))
-    p_sig = probes.withColumn("bucket", signature_col(F.col(probe_vec_col), planes))
-    joined = e_sig.join(F.broadcast(p_sig), "bucket")
-    scored = joined.select(
+    """Approximate top-k: banded LSH bucket join + exact cosine re-rank.
+
+    Classic OR-of-ANDs banding: ``n_bands`` independent signatures of
+    ``band_bits`` bits each; a vector is a candidate for a probe if ANY band
+    matches. ``multi_probe`` additionally probes every 1-bit neighbor of
+    each probe-side band signature (cheap: probes are the small side), so
+    recall stays high without shrinking buckets. Bucket space scales as
+    ``n_bands * 2^band_bits`` — raise ``band_bits`` as the corpus grows so
+    per-bucket candidate counts stay bounded; the per-probe candidate set is
+    deduplicated before the exact re-rank.
+
+    ``dim`` is required (plan construction must not run driver-side actions
+    to discover it; the caller knows its embedding dimensionality).
+    """
+    planes = hyperplanes(dim, n_bands * band_bits, seed)
+    e_sig = embeddings.select(
+        id_col,
+        vec_col,
+        F.explode(F.array(*_band_structs(F.col(vec_col), planes, band_bits, False))).alias("_bs"),
+    ).select(id_col, vec_col, "_bs.band", "_bs.sig")
+    p_sig = probes.select(
+        probe_id_col,
+        probe_vec_col,
+        F.explode(
+            F.array(*_band_structs(F.col(probe_vec_col), planes, band_bits, multi_probe))
+        ).alias("_bs"),
+    ).select(probe_id_col, probe_vec_col, "_bs.band", "_bs.sig")
+    candidates = (
+        e_sig.join(F.broadcast(p_sig), ["band", "sig"])
+        .select(probe_id_col, id_col, vec_col, probe_vec_col)
+        .dropDuplicates([probe_id_col, id_col])
+    )
+    scored = candidates.select(
         probe_id_col,
         id_col,
         cosine_col(F.col(vec_col), F.col(probe_vec_col)).alias("cosine"),

@@ -222,27 +222,38 @@ def q26(spark, sf_dir):
     WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
     dots AS (
       SELECT e.vec_id,
-             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(probe.p AS DOUBLE[])), 4) AS dot
+             CAST(list_dot_product(
+                 list_transform(CAST(e.embedding AS DOUBLE[]), x -> round(x * 1000)),
+                 list_transform(CAST(probe.p AS DOUBLE[]), x -> round(x * 1000))
+             ) AS BIGINT) AS dot_q
       FROM embeddings e, probe WHERE e.vec_id <> 0)
-    SELECT vec_id, dot FROM dots ORDER BY dot DESC, vec_id LIMIT 10
+    SELECT vec_id, dot_q FROM dots ORDER BY dot_q DESC, vec_id LIMIT 10
     """,
 )
 def q27(spark, sf_dir):
     """Brute-force dot-product top-k against a probe vector — the ANN
-    baseline (JVM-side zip_with/aggregate fold, no Python)."""
+    baseline (JVM-side zip_with/aggregate fold, no Python).
+
+    Components are quantized to a 1/1000 integer grid BEFORE the dot
+    product, so the accumulation is exact integer arithmetic in both
+    engines and the oracle no longer depends on DuckDB float-summation
+    rounding agreeing with Spark's at the 4th decimal."""
     e = t(spark, sf_dir, "embeddings")
     probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
     joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
-    dot = F.aggregate(
+    dot_q = F.aggregate(
         F.zip_with(
-            "embedding", "p", lambda a, b: a.cast("double") * b.cast("double")
+            "embedding",
+            "p",
+            lambda a, b: F.round(a.cast("double") * 1000, 0)
+            * F.round(b.cast("double") * 1000, 0),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    )
+    ).cast("long")
     return (
-        joined.select("vec_id", F.round(dot, 4).alias("dot"))
-        .orderBy(F.desc("dot"), "vec_id")
+        joined.select("vec_id", dot_q.alias("dot_q"))
+        .orderBy(F.desc("dot_q"), "vec_id")
         .limit(10)
     )
 
@@ -316,8 +327,12 @@ def q29(spark, sf_dir):
     "q30_sessionize",
     """
     WITH flagged AS (
+      -- gap compared at SECOND precision on both engines: the Spark side
+      -- uses unix_timestamp (whole seconds), so the raw microsecond ts here
+      -- would flip boundaries for gaps in (1800s, 1801s)
       SELECT user_id, ts,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             CASE WHEN date_trunc('second', ts)
+                       - date_trunc('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                        > INTERVAL 30 MINUTE OR
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS new_session

@@ -66,26 +66,34 @@ class SnapshotStore:
 
     # -- write side ----------------------------------------------------------
 
-    def commit(
+    def write_table(self, name: str, df: DataFrame, wave: int, mode: str = "append") -> str:
+        """Write one table's data files for ``wave``; NOT yet published.
+
+        Until ``publish`` runs, the directory is an orphan no manifest
+        references — exactly Iceberg's uncommitted-data-file semantics, so a
+        crash (or an abandoned wave) between write and publish is safe.
+        Returns the manifest-relative path. ``mode`` is part of the shared
+        store interface (``iceberg.IcebergSnapshotStore`` needs it); here
+        replace-vs-append is decided by which ``publish`` dict the returned
+        path lands in, so it is accepted and ignored."""
+        rel = f"data/{name}/wave={wave}"
+        df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        return rel
+
+    def publish(
         self,
         wave: int,
-        replace: dict[str, DataFrame] | None = None,
-        append: dict[str, DataFrame] | None = None,
+        replace_rels: dict[str, str],
+        append_rels: dict[str, str],
         extra: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
-        """Atomically publish wave ``wave``: write data files, then manifest."""
+        """Atomically publish already-written data dirs as wave ``wave``."""
         prev = self.latest()
         tables: dict[str, list[str]] = dict(prev["tables"]) if prev else {}
-
-        for name, df in (replace or {}).items():
-            rel = f"data/{name}/wave={wave}"
-            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        for name, rel in replace_rels.items():
             tables[name] = [rel]
-        for name, df in (append or {}).items():
-            rel = f"data/{name}/wave={wave}"
-            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        for name, rel in append_rels.items():
             tables[name] = tables.get(name, []) + [rel]
-
         manifest = {"wave": wave, "tables": tables, **(extra or {})}
         tmp = os.path.join(self.snap_dir, f".tmp.{wave:06d}.json")
         with open(tmp, "w") as f:
@@ -95,5 +103,41 @@ class SnapshotStore:
         os.rename(tmp, os.path.join(self.snap_dir, f"{wave:06d}.json"))
         return manifest
 
+    def commit(
+        self,
+        wave: int,
+        replace: dict[str, DataFrame] | None = None,
+        append: dict[str, DataFrame] | None = None,
+        extra: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Atomically publish wave ``wave``: write data files, then manifest."""
+        replace_rels = {
+            name: self.write_table(name, df, wave) for name, df in (replace or {}).items()
+        }
+        append_rels = {
+            name: self.write_table(name, df, wave) for name, df in (append or {}).items()
+        }
+        return self.publish(wave, replace_rels, append_rels, extra)
+
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
+
+
+def make_store(spark: SparkSession, state_dir: str):
+    """Pick the snapshot backend: Iceberg-proper when SPARK_GRAFT_ICEBERG=1
+    AND the runtime jar is on the classpath; the parquet+manifest emulation
+    otherwise (this sandbox has no jar and no network to fetch one)."""
+    import re
+    import warnings
+
+    from .iceberg import IcebergSnapshotStore, iceberg_available, iceberg_enabled
+
+    if iceberg_enabled():
+        if iceberg_available(spark):
+            ns = "ns_" + re.sub(r"[^a-z0-9]+", "_", state_dir.lower()).strip("_")[-80:]
+            return IcebergSnapshotStore(spark, ns)
+        warnings.warn(
+            "SPARK_GRAFT_ICEBERG=1 but no Iceberg runtime on the classpath; "
+            "falling back to the parquet snapshot store"
+        )
+    return SnapshotStore(state_dir)
