@@ -71,9 +71,10 @@ BENCH_CFG = CrawlConfig(
 KERNEL_URLS = int(os.environ.get("SPARK_GRAFT_KERNEL_URLS", "8000000"))
 KERNEL_SWEEPS = int(os.environ.get("SPARK_GRAFT_KERNEL_SWEEPS", "2"))
 
-# optional amortized-scale wave loop (SPARK_GRAFT_BIG_WAVE=1): Spark-generated
-# corpus, budgets big enough that per-wave constants vanish
-BIG_WAVE = os.environ.get("SPARK_GRAFT_BIG_WAVE") == "1"
+# amortized-scale wave loop (default ON; SPARK_GRAFT_BIG_WAVE=0 disables):
+# Spark-generated 10^6-URL corpus, budgets big enough that per-wave
+# constants vanish — the end-to-end throughput number of record
+BIG_WAVE = os.environ.get("SPARK_GRAFT_BIG_WAVE", "1") != "0"
 BIG_CFG = CrawlConfig(
     seed=42,
     n_urls=int(os.environ.get("SPARK_GRAFT_BIG_WAVE_URLS", "1000000")),

@@ -102,6 +102,30 @@ def test_extract_media_features_bytes(spark, media_df):
     assert feats["wav0"][5] == 2.0
 
 
+def test_web_states_differ_df(spark):
+    """M3 literal: URL change OR screenshot MSE OR axtree ratio < 0.9999
+    (data_utils.py:103-152 ordering)."""
+    from warc_bench_spark.operators.multimodal import web_states_differ_df
+
+    base = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    shot = bytearray(encode_bmp(base))
+    shot_inv = bytearray(encode_bmp(255 - base))
+    ax = "button A\nlink B\n" * 50
+    rows = [
+        ("same", "https://a/x", "https://a/x", shot, shot, ax, ax),
+        ("url", "https://a/x", "https://a/y", shot, shot, ax, ax),
+        ("shot", "https://a/x", "https://a/x", shot, shot_inv, ax, ax),
+        ("axtree", "https://a/x", "https://a/x", shot, shot, ax, ax + "extra node"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "pair string, url_a string, url_b string, shot_a binary, shot_b binary, "
+        "axtree_a string, axtree_b string",
+    )
+    got = {r["pair"]: r["changed"] for r in web_states_differ_df(df).collect()}
+    assert got == {"same": False, "url": True, "shot": True, "axtree": True}
+
+
 def test_screenshots_differ_df(spark):
     from warc_bench_spark.operators.multimodal import screenshots_differ_df
 

@@ -59,15 +59,15 @@ def test_schedule_kernel_plan(spark):
     from warc_bench_spark.config import CrawlConfig
     from warc_bench_spark.operators.frontier_gen import synthetic_frontier
     from warc_bench_spark.operators.politeness import schedule_wave
-    from warc_bench_spark.functions.urls import canonicalize_udf, url_hash_col
+    from warc_bench_spark.functions.urls import canonicalize_with_host_udf, url_hash_col
 
     cfg = CrawlConfig()
     frontier = (
         synthetic_frontier(spark, 1000, n_hosts=50)
-        .withColumn("canonical_url", canonicalize_udf("url"))
+        .select(canonicalize_with_host_udf("url").alias("_ch"), "priority")
+        .select("_ch.canonical_url", "_ch.host", "priority")
         .filter(F.col("canonical_url").isNotNull())
         .withColumn("url_hash", url_hash_col(F.col("canonical_url")))
-        .withColumn("host", F.parse_url("canonical_url", F.lit("HOST")))
         .select("url_hash", "canonical_url", "host", "priority")
     )
     robots = spark.createDataFrame(

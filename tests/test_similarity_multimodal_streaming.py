@@ -51,6 +51,37 @@ def test_lsh_knn_finds_self(spark, emb):
     assert got[0]["vec_id"] == 3 and abs(got[0]["cosine"] - 1.0) < 1e-9
 
 
+def _planted_corpus(spark, dim=16, n_probes=4, planted=12, noise=1500):
+    rng = np.random.default_rng(7)
+    rows, probes_rows = [], []
+    vid = 0
+    for p in range(n_probes):
+        center = rng.standard_normal(dim)
+        center /= np.linalg.norm(center)
+        probes_rows.append((p, [float(x) for x in center]))
+        for _ in range(planted):  # planted near-neighbors (cosine ~0.99)
+            v = center + 0.08 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(noise):  # background
+        v = rng.standard_normal(dim)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = spark.createDataFrame(probes_rows, "probe_id long, probe_vec array<double>")
+    return emb, probes
+
+
+def _mean_recall(exact_rows, approx_rows, k):
+    want, got = {}, {}
+    for r in exact_rows:
+        want.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    for r in approx_rows:
+        got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    recalls = [len(want[p] & got.get(p, set())) / k for p in want]
+    return sum(recalls) / len(recalls), recalls
+
+
 def test_lsh_knn_recall_vs_brute_force(spark):
     """Planted-neighbor recall: banded multi-probe LSH must recover the true
     top-k (points genuinely close to each probe) from a noisy background.
@@ -58,38 +89,40 @@ def test_lsh_knn_recall_vs_brute_force(spark):
     never a cross join, yet recall stays high."""
     from warc_bench_spark.operators.similarity import brute_force_knn, lsh_knn
 
-    rng = np.random.default_rng(7)
     dim, k = 16, 8
-    rows, probes_rows = [], []
-    vid = 0
-    for p in range(4):
-        center = rng.standard_normal(dim)
-        center /= np.linalg.norm(center)
-        probes_rows.append((p, [float(x) for x in center]))
-        for _ in range(12):  # planted near-neighbors (cosine ~0.99)
-            v = center + 0.08 * rng.standard_normal(dim)
-            rows.append((vid, [float(x) for x in v]))
-            vid += 1
-    for _ in range(1500):  # background noise
-        v = rng.standard_normal(dim)
-        rows.append((vid, [float(x) for x in v]))
-        vid += 1
-
-    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    probes = spark.createDataFrame(probes_rows, "probe_id long, probe_vec array<double>")
-
+    emb, probes = _planted_corpus(spark, dim=dim)
     exact = brute_force_knn(emb, probes, k=k).collect()
     approx = lsh_knn(
         emb, probes, dim=dim, k=k, band_bits=8, n_bands=4, multi_probe=True, seed=42
     ).collect()
-    want = {}
-    for r in exact:
-        want.setdefault(r["probe_id"], set()).add(r["vec_id"])
-    got = {}
-    for r in approx:
-        got.setdefault(r["probe_id"], set()).add(r["vec_id"])
-    recalls = [len(want[p] & got.get(p, set())) / k for p in want]
-    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    mean, recalls = _mean_recall(exact, approx, k)
+    assert mean >= 0.9, recalls
+
+
+def test_ivf_knn_recall_vs_brute_force(spark):
+    """IVF scale path: coarse k-means cells + n_probe nearest-cell search
+    must recover the planted neighbors too (FAISS-style IVF recipe)."""
+    from warc_bench_spark.operators.similarity import brute_force_knn, ivf_knn
+
+    dim, k = 16, 8
+    emb, probes = _planted_corpus(spark, dim=dim)
+    exact = brute_force_knn(emb, probes, k=k).collect()
+    approx = ivf_knn(
+        emb, probes, dim=dim, k=k, n_centroids=32, n_probe=4, seed=42
+    ).collect()
+    mean, recalls = _mean_recall(exact, approx, k)
+    assert mean >= 0.9, recalls
+
+
+def test_kmeans_fit_deterministic_and_normalized():
+    from warc_bench_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((500, 8))
+    c1 = kmeans_fit(x, 16, seed=5)
+    c2 = kmeans_fit(x, 16, seed=5)
+    assert (c1 == c2).all()
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
 
 
 def test_multimodal_plumbing(spark):

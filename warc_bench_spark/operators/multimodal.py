@@ -242,6 +242,66 @@ def screenshots_differ_df(
     return pairs.mapInPandas(diff, out_schema + ", changed boolean")
 
 
+def web_states_differ_df(
+    pairs: DataFrame,
+    url_a: str = "url_a",
+    url_b: str = "url_b",
+    shot_a: str = "shot_a",
+    shot_b: str = "shot_b",
+    axtree_a: str = "axtree_a",
+    axtree_b: str = "axtree_b",
+    image_mse_threshold: float = 0.01,
+    axtree_similarity_threshold: float = 0.9999,
+    max_axtree_length: int = 50_000,
+) -> DataFrame:
+    """M3 literal form — ``data_utils.py:103-152`` ``web_states_differ``:
+    two web states differ if the URL changed, OR the screenshots differ by
+    normalized MSE, OR the AXTrees' SequenceMatcher ratio falls below the
+    threshold. Short-circuits in that order, exactly like the reference
+    (the expensive difflib ratio only runs for same-URL same-screenshot
+    pairs). One Arrow batch stage; screenshots decode with the from-scratch
+    codecs (uncompressed formats)."""
+    from ..functions import codecs
+    from ..functions.textsim import axtrees_differ
+
+    keep = [
+        c
+        for c in pairs.columns
+        if c not in (url_a, url_b, shot_a, shot_b, axtree_a, axtree_b)
+    ]
+
+    def diff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            changed = []
+            for ua, ub, sa, sb, ta, tb in zip(
+                pdf[url_a], pdf[url_b], pdf[shot_a], pdf[shot_b],
+                pdf[axtree_a], pdf[axtree_b],
+            ):
+                if ua != ub:
+                    changed.append(True)
+                    continue
+                if codecs.screenshots_differ(
+                    codecs.decode_image(bytes(sa)),
+                    codecs.decode_image(bytes(sb)),
+                    image_mse_threshold,
+                ):
+                    changed.append(True)
+                    continue
+                changed.append(
+                    axtrees_differ(
+                        ta, tb, axtree_similarity_threshold, max_axtree_length
+                    )
+                )
+            out = pdf[keep].copy()
+            out["changed"] = changed
+            yield out
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in pairs.schema if f.name in keep
+    )
+    return pairs.mapInPandas(diff, out_schema + ", changed boolean")
+
+
 def sample_frames(meta: DataFrame, every_n: int = 30) -> DataFrame:
     """video rows -> (media_ref, frame_index) sampling plan — pure JVM
     column ops (sequence + explode), no Python."""

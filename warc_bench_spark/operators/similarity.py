@@ -1,19 +1,23 @@
-"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+"""Embedding similarity search: brute-force top-k + two ANN scale paths.
 
-The scale story: brute-force is the correctness baseline (O(N·P) dots, all
-JVM-side array folds — no Python). The random-hyperplane LSH variant is the
-scale path: each vector gets an n_bit signature (sign of dot with seeded
-hyperplanes); candidate pairs must share a bucket, cutting the join from
-N×P to bucket-local. Recall is tunable via n_bits / multi-probe.
+* brute-force — the correctness baseline (O(N·P) dots, all JVM-side array
+  folds, no Python);
+* banded random-hyperplane LSH (``lsh_knn``) — candidates share at least
+  one band signature; recall tunable via band count / bits / multi-probe;
+* IVF (``ivf_knn``) — a coarse k-means quantizer (trained on a seeded
+  sample, the standard IVF recipe) partitions vectors into cells; probes
+  search only their ``n_probe`` nearest cells. Cell assignment is an
+  Arrow-batched matrix multiply against broadcast centroids; the candidate
+  join is an equi-join on the cell id.
 
-Everything is deterministic: hyperplanes come from a seeded numpy RNG and
-are embedded as literal arrays (broadcast by Catalyst), so signatures are a
-pure function of (vector, seed).
+Everything is deterministic: hyperplanes/centroids come from seeded numpy
+RNGs, so signatures and cell ids are pure functions of (vector, seed).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -147,6 +151,106 @@ def lsh_knn(
         e_sig.join(F.broadcast(p_sig), ["band", "sig"])
         .select(probe_id_col, id_col, vec_col, probe_vec_col)
         .dropDuplicates([probe_id_col, id_col])
+    )
+    scored = candidates.select(
+        probe_id_col,
+        id_col,
+        cosine_col(F.col(vec_col), F.col(probe_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(probe_id_col, "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(x: np.ndarray, k: int, iters: int = 15, seed: int = 42) -> np.ndarray:
+    """Plain seeded Lloyd's k-means on l2-normalized rows (cosine cells).
+
+    This is the IVF *training* step — in FAISS terms, training the coarse
+    quantizer on a sample. Deterministic: seeded init, fixed iterations,
+    ties broken by index.
+    """
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    return centroids
+
+
+def ivf_knn(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 4,
+    fit_sample: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize to ``n_centroids`` cells,
+    search each probe's ``n_probe`` nearest cells, exact cosine re-rank.
+
+    The quantizer trains on a deterministic sample (one bounded collect —
+    training data, not the corpus; FAISS trains the same way). Assignment
+    runs as an Arrow-batched matmul against broadcast centroids; at the
+    10^10 design point the candidate join is an equi-join on the cell id,
+    shuffle-partitionable like any key join. Recall is tuned by
+    ``n_probe``/``n_centroids`` — see the planted-neighbor recall test.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    sample = (
+        embeddings.select(vec_col)
+        .orderBy(F.crc32(F.concat_ws(",", F.col(vec_col).cast("array<string>"))))
+        .limit(fit_sample)
+        .collect()
+    )
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    centroids = kmeans_fit(x, min(n_centroids, len(x)), seed=seed)
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast(centroids)
+
+    def _cells(series: pd.Series, top: int) -> pd.Series:
+        c = bc.value
+        out = []
+        for v in series:
+            v = np.asarray(v, dtype=np.float64)
+            v = v / max(np.linalg.norm(v), 1e-12)
+            sims = c @ v
+            out.append([int(i) for i in np.argsort(-sims)[:top]])
+        return pd.Series(out)
+
+    @pandas_udf(IntegerType())
+    def cell_of(vs: pd.Series) -> pd.Series:
+        return _cells(vs, 1).map(lambda l: l[0])
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        return _cells(vs, n_probe)
+
+    e_cell = embeddings.withColumn("_cell", cell_of(F.col(vec_col)))
+    p_cell = probes.withColumn(
+        "_cell", F.explode(probe_cells(F.col(probe_vec_col)))
+    )
+    candidates = e_cell.join(F.broadcast(p_cell), "_cell").select(
+        probe_id_col, id_col, vec_col, probe_vec_col
     )
     scored = candidates.select(
         probe_id_col,
