@@ -103,6 +103,7 @@ def run_relational(results: dict) -> float:
     import warc_bench_spark.plans.similarity_text  # noqa: F401
     import warc_bench_spark.plans.evalmetrics  # noqa: F401
     import warc_bench_spark.plans.archives  # noqa: F401
+    import warc_bench_spark.plans.domtree  # noqa: F401
     from warc_bench_spark.plans.relational import REGISTRY
 
     spark = get_spark("bench-relational", cores=CPUS, shuffle_partitions=CPUS)
