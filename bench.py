@@ -94,8 +94,11 @@ KERNEL_CFG = CrawlConfig(
 )
 
 
+_T0 = time.perf_counter()
+
+
 def log(msg: str) -> None:
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def run_relational(results: dict) -> float:
@@ -146,7 +149,9 @@ def prepare_kernel_data() -> tuple[str, str, str]:
     return fdir, sdir, rdir
 
 
-def run_kernel_at(cores: int, fdir: str, sdir: str, rdir: str) -> tuple[float, int]:
+def run_kernel_at(
+    cores: int, fdir: str, sdir: str, rdir: str, n_passes: int | None = None
+) -> tuple[float, int]:
     """One schedule+dedup pass: canonicalize → hash → anti-join → politeness."""
     from pyspark.sql import DataFrame, functions as F
 
@@ -196,7 +201,8 @@ def run_kernel_at(cores: int, fdir: str, sdir: str, rdir: str) -> tuple[float, i
     # at a fraction of the wall time — matters at local[2] where a full
     # pass is >1 min
     one_pass(frontier.filter(F.col("id") % 8 == 0))
-    n_passes = 2 if cores <= 2 else 3
+    if n_passes is None:
+        n_passes = 2 if cores <= 2 else 3
     passes = [one_pass(frontier) for _ in range(n_passes)]
     spark.stop()
     return min(d for d, _ in passes), passes[0][1]
@@ -241,7 +247,8 @@ def _subprocess_measure(args: list[str]) -> dict:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--kernel-worker":
         cores = int(sys.argv[2])
-        dt, n = run_kernel_at(cores, *sys.argv[3:6])
+        n_passes = int(sys.argv[6]) if len(sys.argv) > 6 else None
+        dt, n = run_kernel_at(cores, *sys.argv[3:6], n_passes=n_passes)
         print(json.dumps({"sec": dt, "n": n}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--wave-worker":
@@ -286,8 +293,14 @@ def main() -> None:
         for c in levels:
             if sweep > 0 and c == CPUS and c not in (2, CPUS_SMALL):
                 continue  # re-sweep only the headline N-vs-4N pair
-            log(f"[bench] kernel sweep {sweep + 1} at local[{c}]")
-            r = _subprocess_measure(["--kernel-worker", str(c), fdir, sdir, rdir])
+            # the headline N-vs-4N pair (2, 8) keeps full passes in every
+            # sweep — its min must be well-sampled (the 16N level only runs
+            # in sweep 1, via the filter above)
+            n_passes = 2 if c <= 2 else 3
+            log(f"[bench] kernel sweep {sweep + 1} at local[{c}] ({n_passes} passes)")
+            r = _subprocess_measure(
+                ["--kernel-worker", str(c), fdir, sdir, rdir, str(n_passes)]
+            )
             times[c] = min(times.get(c, float("inf")), r["sec"])
             counts[c] = r["n"]
     assert len(set(counts.values())) == 1, "kernel is parallelism-variant!"

@@ -114,6 +114,19 @@ def test_ivf_knn_recall_vs_brute_force(spark):
     assert mean >= 0.9, recalls
 
 
+def test_banded_pairs_stop_bucket_cap(spark):
+    """A degenerate bucket (boilerplate shared by >cap docs) must be
+    excluded from candidate generation; small buckets still pair fully."""
+    from warc_bench_spark.operators.similarity import banded_candidate_pairs
+
+    rows = [(i, 1, 1) for i in range(100)]        # degenerate bucket (100)
+    rows += [(200 + i, 7, 7) for i in range(4)]   # healthy bucket (4)
+    sig = spark.createDataFrame(rows, "doc_id long, mh1 long, mh2 long")
+    pairs = banded_candidate_pairs(sig, ["mh1", "mh2"], max_bucket_size=64).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert got == {(200, 201), (200, 202), (200, 203), (201, 202), (201, 203), (202, 203)}
+
+
 def test_kmeans_fit_deterministic_and_normalized():
     from warc_bench_spark.operators.similarity import kmeans_fit
 

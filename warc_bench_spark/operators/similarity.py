@@ -263,3 +263,35 @@ def ivf_knn(
         .filter(F.col("rank") <= k)
         .orderBy(probe_id_col, "rank")
     )
+
+
+def banded_candidate_pairs(
+    sig: DataFrame,
+    band_cols: list[str],
+    id_col: str = "doc_id",
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """LSH band self-join with a bucket-size cap (the 'stop bucket' guard).
+
+    A degenerate band value (boilerplate duplicated across thousands of
+    docs) would make its bucket's self-join quadratic; buckets larger than
+    ``max_bucket_size`` are dropped from candidate generation — the
+    standard LSH-dedup heuristic (such clusters are found by the exact
+    digest pass instead). The bucket histogram is a partial-aggregate
+    groupBy co-partitioned with the join — no extra wide shuffle.
+    """
+    sizes = (
+        sig.groupBy(*band_cols)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
+    bounded = sig.join(sizes, band_cols)
+    a = bounded.alias("a")
+    b = bounded.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in band_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+    )

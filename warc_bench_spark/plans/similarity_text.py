@@ -83,9 +83,13 @@ def q23(spark, sf_dir):
 @register(
     "q24_lsh_candidate_pairs",
     f"""
-    WITH sig AS ({_MINHASH_SIG_SQL})
+    WITH sig AS ({_MINHASH_SIG_SQL}),
+    ok AS (
+      SELECT mh1, mh2, mh3, mh4 FROM sig
+      GROUP BY mh1, mh2, mh3, mh4 HAVING COUNT(*) <= 64),
+    bounded AS (SELECT sig.* FROM sig JOIN ok USING (mh1, mh2, mh3, mh4))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM sig a JOIN sig b
+    FROM bounded a JOIN bounded b
       ON a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.mh4 = b.mh4
      AND a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b
@@ -93,22 +97,16 @@ def q23(spark, sf_dir):
 )
 def q24(spark, sf_dir):
     """LSH banding: docs agreeing on the full 4-hash band are near-dup
-    candidates (band→bucket self-join)."""
+    candidates (band→bucket self-join). Buckets above the stop-bucket cap
+    are excluded — the guard that keeps a degenerate boilerplate band from
+    going quadratic at scale (operators/similarity.py
+    banded_candidate_pairs; identical HAVING filter in the oracle)."""
+    from ..operators.similarity import banded_candidate_pairs
+
     sig = _minhash_sig(spark, sf_dir)
-    a = sig.alias("a")
-    b = sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.mh1") == F.col("b.mh1"))
-            & (F.col("a.mh2") == F.col("b.mh2"))
-            & (F.col("a.mh3") == F.col("b.mh3"))
-            & (F.col("a.mh4") == F.col("b.mh4"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .orderBy("doc_a", "doc_b")
-    )
+    return banded_candidate_pairs(
+        sig, ["mh1", "mh2", "mh3", "mh4"], max_bucket_size=64
+    ).orderBy("doc_a", "doc_b")
 
 
 @register(
