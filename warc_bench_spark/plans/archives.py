@@ -91,3 +91,75 @@ def q54(spark, sf_dir):
         "normalized_url",
         F.sha2(F.col("payload"), 256).alias("payload_sha"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q57_robots_parse",
+    """
+    SELECT 'h' || s_suppkey || '.example.com' AS host,
+           '/priv' || s_suppkey || '|/tmp' AS disallow,
+           CAST(((s_suppkey % 5) + 1) * 1000 AS INT) AS crawl_delay_ms
+    FROM supplier WHERE s_suppkey < 100 ORDER BY host
+    """,
+)
+def q57(spark, sf_dir):
+    """robots.txt byte parsing (sources/robots.py): group selection picks
+    the ``*`` group for our agent over a more specific other-bot group;
+    prefixes and Crawl-delay are recovered from real text the oracle
+    constructed — the engine's robots dimension built from bytes."""
+    from ..sources.robots import robots_table
+
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 100)
+    k = F.col("s_suppkey").cast("string")
+    text = F.concat(
+        F.lit("# synthetic robots\nUser-agent: otherbot\nDisallow: /\n\n"),
+        F.lit("User-agent: *\nDisallow: /priv"), k,
+        F.lit("\nDisallow: /tmp\nCrawl-delay: "),
+        ((F.col("s_suppkey") % 5) + 1).cast("string"),
+        F.lit("\n"),
+    )
+    hosts = s.select(
+        F.concat(F.lit("h"), k, F.lit(".example.com")).alias("host"),
+        text.alias("robots_txt"),
+    )
+    parsed = robots_table(hosts, user_agent="warcbench-crawler")
+    return parsed.select(
+        "host",
+        F.array_join("disallow_prefixes", "|").alias("disallow"),
+        "crawl_delay_ms",
+    ).orderBy("host")
+
+
+@register(
+    "q58_sitemap_seeds",
+    """
+    WITH o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 100)
+    SELECT url, base_url, 'sitemap seed ' || url AS goal, priority FROM (
+        SELECT 'https://s' || k || '.example.com/a' AS url,
+               's' || k || '.example.com' AS base_url, 2 AS priority FROM o
+        UNION ALL
+        SELECT 'https://s' || k || '.example.com/b' AS url,
+               's' || k || '.example.com' AS base_url, 0 AS priority FROM o)
+    ORDER BY url
+    """,
+)
+def q58(spark, sf_dir):
+    """sitemap.xml byte parsing -> the engine's seeds schema
+    (sources/robots.py parse_sitemap + seeds_from_sitemap): loc/priority
+    extracted from real XML text, priority remapped to the engine's
+    ascending-int convention."""
+    from ..sources.robots import seeds_from_sitemap, sitemap_entries
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    k = F.col("o_orderkey").cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>https://s'), k,
+        F.lit(".example.com/a</loc><priority>0.8</priority></url>"),
+        F.lit("<url><loc>https://s"), k,
+        F.lit(".example.com/b</loc><lastmod>2024-01-0"),
+        ((F.col("o_orderkey") % 9) + 1).cast("string"),
+        F.lit("</lastmod></url></urlset>"),
+    )
+    docs = o.select("o_orderkey", xml.alias("sitemap_xml"))
+    entries = sitemap_entries(docs, ["o_orderkey"])
+    return seeds_from_sitemap(entries).orderBy("url")
