@@ -41,9 +41,10 @@ def build_fixture(spark, sf_dir: str) -> str:
     from ..sources.wacz import write_wacz
 
     out = _fixture_dir(sf_dir)
-    done = os.path.join(out, "_done")
-    if os.path.exists(done):
-        return out
+    # ALWAYS rebuilt: the fixture's bytes must reflect the CURRENT table
+    # contents (a cached fixture from a prior driver round with regenerated
+    # testdata would silently diverge from the oracle). Cost: a 20-row
+    # collect + two small zip writes.
     rows = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < N_DOCS)
@@ -62,8 +63,6 @@ def build_fixture(spark, sf_dir: str) -> str:
                 for r in chunk
             ],
         )
-    with open(done, "w") as f:
-        f.write("ok")
     return out
 
 
