@@ -103,6 +103,37 @@ def test_request_index_pairing(spark, wacz_path):
     )
 
 
+def test_stream_wacz_records_equals_batch(spark, tmp_path):
+    """§2.13: archives landing in a directory stream into WARC record rows;
+    an availableNow drain must equal the batch scan exactly."""
+    from warc_bench_spark.sources.wacz import scan_wacz_records, stream_wacz_records
+
+    d = str(tmp_path / "inbox")
+    for i in range(3):
+        write_wacz(
+            f"{d}/s{i}.wacz",
+            [{"url": f"https://st{i}.com/p?timestamp=1", "payload": f"sdata-{i}".encode()}],
+        )
+    stream = stream_wacz_records(spark, d)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wacz_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["archive"], r["kind"], r["target_uri"], bytes(r["payload"]))
+        for r in spark.sql("SELECT * FROM wacz_stream").collect()
+    }
+    want = {
+        (r["archive"], r["kind"], r["target_uri"], bytes(r["payload"]))
+        for r in scan_wacz_records(spark, f"{d}/*.wacz").collect()
+    }
+    assert got == want and len(want) == 6  # 3 requests + 3 responses
+
+
 def test_index_from_many_archives(spark, tmp_path):
     for i in range(3):
         write_wacz(

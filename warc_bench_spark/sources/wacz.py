@@ -353,3 +353,24 @@ def warc_request_index(records: DataFrame) -> DataFrame:
         "payload",
         F.col("digest_hex").alias("payload_digest_hex"),
     )
+
+
+def stream_wacz_records(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Streaming form of ``scan_wacz_records`` (§2.13): new .wacz archives
+    landing in a directory become WARC record rows incrementally.
+
+    ``binaryFile`` is a file streaming source (fixed schema), so the same
+    mapInPandas parse stage runs per micro-batch; with
+    ``trigger(availableNow=True)`` this drains a backlog exactly once —
+    verified equal to the batch scan in tests/test_wacz.py.
+    """
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .load(path_glob)
+    )
+    return raw.select("path", "content").mapInPandas(
+        _records_from_archives, RECORDS_SCHEMA
+    )
