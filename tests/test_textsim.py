@@ -133,3 +133,49 @@ def test_add_query_param_reference_semantics():
         add_query_param("https://a.com/p?tok=old&y=2&tok=old2", "tok", "new")
         == "https://a.com/p?tok=new&y=2"
     )
+
+
+# ------------------------------------------------------ winnowing (q59 op)
+
+def _py_winnow(txt, k=8, w=4, mod=1_000_000_007, base=131):
+    hs = [sum(ord(txt[i + j]) * (base ** j) for j in range(k)) % mod
+          for i in range(len(txt) - k + 1)]
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+def test_winnowing_matches_python_reference(spark):
+    from warc_bench_spark.plans.similarity_text import winnowing_fingerprints
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs today"),
+        (3, "the quick brown fox naps under the warm sun"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, txt string")
+    got = {}
+    for r in winnowing_fingerprints(df, "txt", "doc_id").collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for doc_id, txt in texts:
+        assert got[doc_id] == _py_winnow(txt), doc_id
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """Winnowing's detection guarantee: documents sharing a substring of
+    length >= k + w - 1 share at least one fingerprint; unrelated docs
+    (different alphabets) share none."""
+    from warc_bench_spark.plans.similarity_text import winnowing_fingerprints
+
+    shared = "a very distinctive common passage of text"
+    df = spark.createDataFrame(
+        [
+            (1, f"prefix one {shared} suffix alpha"),
+            (2, f"totally different lead-in {shared} and ending"),
+            (3, "zzzz qqqq xxxx wwww vvvv uuuu yyyy kkkk jjjj"),
+        ],
+        "doc_id long, txt string",
+    )
+    fps = {}
+    for r in winnowing_fingerprints(df, "txt", "doc_id").collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[1] & fps[2], "shared passage must yield a shared fingerprint"
+    assert not (fps[1] & fps[3])

@@ -414,3 +414,81 @@ def q31(spark, sf_dir):
         .crossJoin(fallback.agg(F.count(F.lit(1)).alias("n_fallback")))
         .crossJoin(leftover.agg(F.count(F.lit(1)).alias("n_orphan_resp")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling hash, Schleimer/Wilkerson/Aiken 2003)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8          # character k-gram width
+WINNOW_W = 4          # winnowing window (fingerprints = window minima)
+WINNOW_MOD = 1_000_000_007
+WINNOW_BASE = 131
+
+
+def _winnow_hash_terms(txt: str, idx: str) -> str:
+    """SQL for the k-gram polynomial hash at 1-based position ``idx`` —
+    pure integer arithmetic, identical text in Spark SQL and DuckDB."""
+    return " + ".join(
+        f"CAST(ascii(substr({txt}, {idx}+{j}, 1)) AS BIGINT) * {WINNOW_BASE**j}"
+        for j in range(WINNOW_K)
+    )
+
+
+def winnowing_fingerprints(df, text_col: str, id_col: str):
+    """Distinct winnowing fingerprints per document — the rolling-hash
+    document-fingerprinting dedup (MOSS algorithm): hash every character
+    k-gram, keep the minimum of each w-window. Entirely JVM expression
+    trees (sequence/transform/slice/array_min) — no Python, no shuffle
+    until the final distinct."""
+    from pyspark.sql import functions as F
+
+    hs = (
+        f"transform(sequence(1, length({text_col}) - {WINNOW_K - 1}), "
+        f"i -> ({_winnow_hash_terms(text_col, 'i')}) % {WINNOW_MOD})"
+    )
+    fps = (
+        f"transform(sequence(1, size({hs}) - {WINNOW_W - 1}), "
+        f"i -> array_min(slice({hs}, i, {WINNOW_W})))"
+    )
+    return (
+        df.filter(F.length(text_col) >= WINNOW_K + WINNOW_W - 1)
+        .select(id_col, F.explode(F.expr(fps)).alias("fingerprint"))
+        .distinct()
+    )
+
+
+@register(
+    "q59_winnowing_fingerprints",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text AS txt FROM documents
+      WHERE doc_id < 50 AND length(text) >= {WINNOW_K + WINNOW_W - 1}),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, length(txt) - {WINNOW_K} + 2),
+                            i -> ({_winnow_hash_terms('txt', 'i')}) % {WINNOW_MOD}) AS hs
+      FROM d),
+    fp AS (
+      SELECT doc_id,
+             list_transform(range(1, len(hs) - {WINNOW_W} + 2),
+                            i -> list_min(hs[i:i+{WINNOW_W - 1}])) AS fps
+      FROM h)
+    SELECT DISTINCT doc_id, unnest(fps) AS fingerprint
+    FROM fp ORDER BY doc_id, fingerprint
+    """,
+)
+def q59(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing): the task brief's
+    'document fingerprinting (rolling hash)' in its standard form. At 100 TB
+    the fingerprint table joins doc-to-doc on equal fingerprints (bounded
+    per-doc set, guaranteed-overlap property for long shared substrings) —
+    exact integer arithmetic, identical in both engines."""
+    from pyspark.sql import functions as F
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.col("text").alias("txt"))
+    )
+    return winnowing_fingerprints(d, "txt", "doc_id").orderBy("doc_id", "fingerprint")
