@@ -138,8 +138,13 @@ def test_add_query_param_reference_semantics():
 # ------------------------------------------------------ winnowing (q59 op)
 
 def _py_winnow(txt, k=8, w=4, mod=1_000_000_007, base=131):
-    hs = [sum(ord(txt[i + j]) * (base ** j) for j in range(k)) % mod
-          for i in range(len(txt) - k + 1)]
+    def h(i):
+        v = 0
+        for j in range(k - 1, -1, -1):  # Horner, mod each step (no overflow)
+            v = (v * base + ord(txt[i + j])) % mod
+        return v
+
+    hs = [h(i) for i in range(len(txt) - k + 1)]
     return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
 
 
