@@ -102,11 +102,12 @@ def log(msg: str) -> None:
 
 
 def run_relational(results: dict) -> float:
-    import warc_bench_spark.plans.relational2  # noqa: F401  (extends REGISTRY)
-    import warc_bench_spark.plans.similarity_text  # noqa: F401
+    # same registration order as __spark_entry__.py (drives iteration order)
+    import warc_bench_spark.plans.similarity_text  # noqa: F401  (extends REGISTRY)
     import warc_bench_spark.plans.evalmetrics  # noqa: F401
     import warc_bench_spark.plans.archives  # noqa: F401
     import warc_bench_spark.plans.domtree  # noqa: F401
+    import warc_bench_spark.plans.relational2  # noqa: F401
     from warc_bench_spark.plans.relational import REGISTRY
 
     spark = get_spark("bench-relational", cores=CPUS, shuffle_partitions=CPUS)

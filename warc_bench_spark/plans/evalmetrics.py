@@ -149,7 +149,7 @@ def q48(spark, sf_dir):
     )
     SELECT p.source, doc_a, doc_b,
            round(dot / (n1.nrm * n2.nrm), 4) AS cosine,
-           dot / (n1.nrm * n2.nrm) > 0.99 AS is_near_dup
+           round(dot / (n1.nrm * n2.nrm), 4) > 0.99 AS is_near_dup
     FROM pairs p
     JOIN norms n1 ON n1.source = p.source AND n1.doc_id = p.doc_a
     JOIN norms n2 ON n2.source = p.source AND n2.doc_id = p.doc_b
@@ -208,8 +208,11 @@ def q49(spark, sf_dir):
             "source",
             "doc_a",
             "doc_b",
+            # the boolean derives from the ROUNDED cosine: cross-row float
+            # sums are order-dependent in the last ulp, so comparing the raw
+            # sum to 0.99 could flip between engines within summation noise
             F.round(cos, 4).alias("cosine"),
-            (cos > 0.99).alias("is_near_dup"),
+            (F.round(cos, 4) > 0.99).alias("is_near_dup"),
         )
         .orderBy("source", "doc_a", "doc_b")
     )

@@ -506,3 +506,85 @@ def q59(spark, sf_dir):
         .select("doc_id", F.col("text").alias("txt"))
     )
     return winnowing_fingerprints(d, "txt", "doc_id").orderBy("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dup pipeline: LSH candidates -> exact Jaccard verify
+# ---------------------------------------------------------------------------
+
+@register(
+    "q60_lsh_jaccard_dedup",
+    f"""
+    WITH sig AS ({_MINHASH_SIG_SQL}),
+    ok AS (
+      SELECT mh1, mh2, mh3, mh4 FROM sig
+      GROUP BY mh1, mh2, mh3, mh4 HAVING COUNT(*) <= 64),
+    bounded AS (SELECT sig.* FROM sig JOIN ok USING (mh1, mh2, mh3, mh4)),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bounded a JOIN bounded b
+        ON a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.mh4 = b.mh4
+       AND a.doc_id < b.doc_id),
+    toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(COALESCE(i, 0) AS DOUBLE)
+                 / CAST(sa.n + sb.n - COALESCE(i, 0) AS DOUBLE), 6) AS jaccard,
+           round(CAST(COALESCE(i, 0) AS DOUBLE)
+                 / CAST(sa.n + sb.n - COALESCE(i, 0) AS DOUBLE), 6) >= 0.5 AS is_dup
+    FROM cand c
+    LEFT JOIN inter USING (doc_a, doc_b)
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q60(spark, sf_dir):
+    """The real 100-TB dedup pipeline shape, end to end: MinHash signatures
+    -> capped LSH band self-join (q24's candidate generator) -> exact
+    token-set Jaccard verification OVER THOSE CANDIDATES ONLY (q25's verify
+    stage, no longer bounded by a doc_id slice). The verify cost scales with
+    the candidate count, not the corpus squared. ``is_dup`` compares the
+    ROUNDED jaccard so the boolean can't flip on cross-engine float noise."""
+    from ..operators.similarity import banded_candidate_pairs
+
+    sig = _minhash_sig(spark, sf_dir)
+    cand = banded_candidate_pairs(sig, ["mh1", "mh2", "mh3", "mh4"], max_bucket_size=64)
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    i0 = F.coalesce(F.col("i"), F.lit(0)).cast("double")
+    jac = F.round(i0 / (F.col("na") + F.col("nb") - i0).cast("double"), 6)
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jac.alias("jaccard"),
+            (jac >= 0.5).alias("is_dup"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
