@@ -342,14 +342,26 @@ def main() -> None:
         crawl["big_wave_urls_per_sec"] = round(bw["n"] / bw["sec"], 1)
         queries["crawl_big_wave"] = round(bw["sec"], 3)
 
+    # Key order matters: the driver's stdout-tail capture truncated round
+    # 2's record from the FRONT (headline + q01-q12 lost). The big
+    # "queries" map goes FIRST and the headline metric/value/crawl summary
+    # LAST, so a tail capture always keeps the essentials; the complete
+    # record also lands in BENCH/last_run.json as a sidecar.
     out = {
-        "metric": "headline_total_sec",
-        "value": round(rel_total + t_4n, 3),
-        "unit": "sec",
-        "queries": queries,
+        "queries": {k: round(v, 2) for k, v in queries.items()},
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "crawl": crawl,
+        "unit": "sec",
+        "metric": "headline_total_sec",
+        "value": round(rel_total + t_4n, 3),
     }
+    try:
+        detail_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(detail_dir, exist_ok=True)
+        with open(os.path.join(detail_dir, "last_run.json"), "w") as f:
+            json.dump({**out, "queries": queries}, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # sidecar is best-effort; the stdout line is the contract
     print(json.dumps(out))
 
 

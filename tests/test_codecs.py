@@ -141,3 +141,66 @@ def test_screenshots_differ_df(spark):
     df = spark.createDataFrame(rows, "pair string, before binary, after binary")
     got = {r["pair"]: r["changed"] for r in screenshots_differ_df(df).collect()}
     assert got == {"same": False, "tiny": False, "inverted": True, "resized": True}
+
+
+# ------------------------------------------------- PIL-gated compressed path
+
+# minimal valid 1x1 PNG and JPEG byte prefixes (magic-sniff only; full
+# decode is exercised in the gated test below with PIL-encoded bytes)
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8
+_JPEG_MAGIC = b"\xff\xd8\xff\xe0" + b"\x00" * 8
+
+
+def test_sniff_compressed_magic_without_pil():
+    """Magic-byte sniffing for JPEG/PNG needs no codec at all."""
+    assert sniff_media_type(_PNG_MAGIC) == "image/png"
+    assert sniff_media_type(_JPEG_MAGIC) == "image/jpeg"
+
+
+def test_compressed_boundary_without_pil():
+    """Without PIL the compressed branch raises the documented
+    NotImplementedError (not a silent fake); with PIL it must decode."""
+    from warc_bench_spark.functions.codecs import (
+        decode_image,
+        image_decodable,
+        pil_available,
+    )
+
+    if pil_available():
+        pytest.skip("PIL present: covered by test_pil_decode_roundtrip")
+    assert not image_decodable("image/png")
+    assert not image_decodable("image/jpeg")
+    assert image_decodable("image/bmp")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(_PNG_MAGIC)
+
+
+@pytest.mark.skipif(
+    not __import__("warc_bench_spark.functions.codecs", fromlist=["pil_available"]).pil_available(),
+    reason="PIL not installed (the documented compressed-codec boundary)",
+)
+def test_pil_decode_roundtrip():
+    """Gated on pil_available(): PNG decodes losslessly to the source RGB
+    array; JPEG decodes to the right shape/dtype (lossy, so approximate
+    values); both feed the same screenshots_differ semantics as BMP."""
+    import io
+
+    from PIL import Image
+
+    from warc_bench_spark.functions.codecs import decode_image, image_decodable
+
+    img = rng.integers(0, 256, (12, 17, 3), dtype=np.uint8)
+    png_buf, jpg_buf = io.BytesIO(), io.BytesIO()
+    Image.fromarray(img).save(png_buf, format="PNG")
+    Image.fromarray(img).save(jpg_buf, format="JPEG", quality=95)
+
+    assert image_decodable("image/png") and image_decodable("image/jpeg")
+    png_dec = decode_image(png_buf.getvalue())
+    assert png_dec.shape == img.shape and png_dec.dtype == np.uint8
+    np.testing.assert_array_equal(png_dec, img)  # PNG is lossless
+
+    jpg_dec = decode_image(jpg_buf.getvalue())
+    assert jpg_dec.shape == img.shape and jpg_dec.dtype == np.uint8
+    assert image_mse(jpg_dec, img) < 0.05  # lossy but close
+
+    assert not screenshots_differ(png_dec, png_dec)

@@ -156,6 +156,29 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 # Image ops (reference semantics)
 # ---------------------------------------------------------------------------
 
+UNCOMPRESSED_IMAGE_TYPES = frozenset({"image/bmp", "image/x-portable-pixmap"})
+COMPRESSED_IMAGE_TYPES = frozenset({"image/jpeg", "image/png"})
+
+
+def pil_available() -> bool:
+    """Availability probe for the compressed-codec backend (same gating
+    pattern as ``iceberg.iceberg_available``): the reference decodes
+    JPEG/PNG with PIL (``image_utils.py:19-120``); this sandbox has no PIL,
+    so compressed decode is gated, not faked."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def image_decodable(kind: str | None) -> bool:
+    return kind in UNCOMPRESSED_IMAGE_TYPES or (
+        kind in COMPRESSED_IMAGE_TYPES and pil_available()
+    )
+
+
 def sniff_media_type(data: bytes) -> str | None:
     if data[:2] == b"BM":
         return "image/bmp"
@@ -163,6 +186,10 @@ def sniff_media_type(data: bytes) -> str | None:
         return "image/x-portable-pixmap"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "audio/wav"
+    if data[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
     return None
 
 
@@ -172,6 +199,20 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if kind == "image/x-portable-pixmap":
         return decode_ppm(data)
+    if kind in COMPRESSED_IMAGE_TYPES:
+        if pil_available():
+            # reference decode semantics (image_utils.py:19-120): PIL open
+            # + RGB conversion -> HxWx3 uint8
+            import io
+
+            from PIL import Image
+
+            return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        raise NotImplementedError(
+            f"{kind} decode needs PIL (absent in this environment); "
+            "install pillow and this branch activates — the documented "
+            "compressed-codec boundary"
+        )
     raise ValueError(f"no from-scratch decoder for {kind or 'unknown bytes'}")
 
 

@@ -80,26 +80,17 @@ _FAST_RE = re.compile(
     r"(?:\?[a-z0-9_.-]+=[A-Za-z0-9_.~-]*(?:&[a-z0-9_.-]+=[A-Za-z0-9_.~-]*)*)?$"
 )
 
-# The same fast-path predicate for the BATCH path, split into two
-# lookahead-free regexes so pyarrow.compute (RE2, C++) can evaluate them over
-# whole Arrow arrays: a URL takes the fast path iff it matches the canonical
-# structure AND has no volatile query key AND no 'google'. Keys in _FAST_RE
-# are [a-z0-9_.-]+, so '[?&]<key>=' detects exactly whole-key occurrences
-# ('xr=' cannot fire the 'r' alternative). 'amp;timestamp' contains ';',
-# which the structure regex already rejects. Equivalence with the scalar
-# fast+slow path is property-tested in tests/test_urls.py.
+# The batch fast-path predicate, lookahead-free so pyarrow.compute (RE2,
+# C++) can evaluate it over whole Arrow arrays: a URL takes the fast path
+# iff it matches the canonical structure AND contains no 'google'. Volatile
+# query keys do NOT need a separate predicate here: the global
+# _VOLATILE_REPLACE_PAT substitution below handles them on fast-path URLs
+# directly ('amp;timestamp' contains ';', which the structure regex already
+# rejects). Equivalence with the scalar fast+slow path is property-tested
+# in tests/test_urls.py.
 _FAST_STRUCT_PAT = (
     r"^https://[a-z0-9.-]+/[A-Za-z0-9_.~/-]*"
     r"(\?[a-z0-9_.-]+=[A-Za-z0-9_.~-]*(&[a-z0-9_.-]+=[A-Za-z0-9_.~-]*)*)?$"
-)
-_VOLATILE_KEY_PAT = (
-    "[?&]("
-    + "|".join(
-        re.escape(k)
-        for k in sorted((VOLATILE_KEYS | VOLATILE_EXTRA) - {"amp;timestamp"})
-    )
-    + r")="
-    + r"|[?&](viewport|client_metadata)\."
 )
 
 # On structure-clean URLs the ENTIRE canonicalization reduces to replacing

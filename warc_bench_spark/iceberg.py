@@ -121,8 +121,13 @@ class IcebergSnapshotStore:
         return tbl
 
     def _snapshot_id(self, tbl: str) -> int:
+        """The table's CURRENT snapshot id, read from the ``refs`` metadata
+        table's ``main`` branch head — not ``ORDER BY committed_at`` over
+        ``.snapshots``: committed_at has millisecond granularity and
+        snapshot ids are non-monotonic, so a timestamp tie could pin an
+        ambiguous snapshot in the wave manifest."""
         row = self.spark.sql(
-            f"SELECT snapshot_id FROM {tbl}.snapshots ORDER BY committed_at DESC LIMIT 1"
+            f"SELECT snapshot_id FROM {tbl}.refs WHERE name = 'main'"
         ).collect()[0]
         return int(row["snapshot_id"])
 

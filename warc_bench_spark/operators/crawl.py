@@ -118,10 +118,11 @@ class CrawlEngine:
         """
         rules = self.robots.select("host", "disallow_prefixes")
         with_rules = df.join(F.broadcast(rules), "host", "left")
-        path = F.coalesce(
-            F.regexp_extract("canonical_url", r"^[^:]+://[^/]+([^?]*)", 1),
-            F.lit("/"),
-        )
+        # regexp_extract returns '' (never NULL) on no match, so the empty-
+        # path guard must compare against '', matching the simulator's
+        # path = '/' + rest default (synth.is_allowed)
+        raw_path = F.regexp_extract("canonical_url", r"^[^:]+://[^/]+([^?]*)", 1)
+        path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
         blocked = F.exists(
             "disallow_prefixes", lambda p: path.startswith(p)
         )
@@ -132,9 +133,17 @@ class CrawlEngine:
     # -------------------------------------------------------------- bootstrap
 
     def bootstrap(self) -> None:
-        """Seed list -> wave-0 frontier snapshot (idempotent)."""
+        """Seed list -> wave-0 frontier snapshot (idempotent).
+
+        Only the frontier is written: url_seen/crawl_log start as ABSENT
+        tables (the wave-0 manifest lists no dirs for them) rather than
+        empty parquet datasets — two empty-DataFrame write jobs saved, and
+        the seed count rides the frontier write as an Observation instead
+        of a dedicated count() action."""
         if self.store.latest() is not None:
             return
+        from pyspark.sql import Observation
+
         seeded = self._with_url_identity(self.seeds, "url")
         # one row per canonical URL, min priority wins (deterministic)
         frontier = (
@@ -143,22 +152,17 @@ class CrawlEngine:
             .withColumn("discovered_wave", F.lit(0))
         )
         frontier = self._robots_allowed(frontier).select(*FRONTIER_COLS)
-        frontier = frontier.repartition(self.cfg.shuffle_partitions, "url_hash").cache()
-        n0 = frontier.count()
-        empty_seen = self.spark.createDataFrame(
-            [], "url_hash string, canonical_url string, wave int"
+        obs = Observation()
+        frontier = frontier.repartition(
+            self.cfg.shuffle_partitions, "url_hash"
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
+        rel = self.store.write_table("frontier", frontier, 0, mode="replace")
+        self.store.publish(
+            0,
+            {"frontier": rel},
+            {},
+            extra={"next_wave": 0, "seq_end": 0, "frontier_count": int(obs.get["n"])},
         )
-        empty_log = self.spark.createDataFrame(
-            [],
-            "seq long, wave int, canonical_url string, host string, vt long, priority int",
-        )
-        self.store.commit(
-            wave=0,
-            replace={"frontier": frontier},
-            append={"url_seen": empty_seen, "crawl_log": empty_log},
-            extra={"next_wave": 0, "seq_end": 0, "frontier_count": n0},
-        )
-        frontier.unpersist()
 
     # ------------------------------------------------------------------- wave
 
@@ -166,6 +170,10 @@ class CrawlEngine:
         spark, cfg = self.spark, self.cfg
         frontier = self.store.read_table(spark, "frontier")
         seen = self.store.read_table(spark, "url_seen")
+        if seen is None:  # wave 0: the bootstrap manifest lists no url_seen
+            seen = spark.createDataFrame(
+                [], "url_hash string, canonical_url string, wave int"
+            )
         seen_nonempty = seq_start > 0  # manifest metadata, no Spark job
 
         # 1. dedup: Bloom prefilter + exact anti-join (D1/S11). Shards are
@@ -286,15 +294,23 @@ class CrawlEngine:
             .withColumn("discovered_wave", F.lit(wave + 1))
             .select(*FRONTIER_COLS)
         )
-        # the frontier count rides the frontier WRITE as an Observation —
-        # no dedicated count() job (round-1 had ~8 actions/wave; the two
-        # counts now piggyback on writes that happen anyway)
+        # the frontier count AND the per-partition lineage histogram ride
+        # the frontier WRITE as one Observation — no dedicated count() job
+        # and no lineage groupBy job (round-1 had ~8 actions/wave; round 2
+        # still spent a shuffle job on the lineage histogram). One
+        # count-if per shuffle partition: the partition count is a config
+        # constant, so this is a fixed-width aggregate evaluated in the
+        # same pass as the write, regardless of data size.
         obs_frontier = Observation()
+        part_counts = [
+            F.count(F.when(F.spark_partition_id() == i, 1)).alias(f"p{i}")
+            for i in range(cfg.shuffle_partitions)
+        ]
         next_frontier = (
             remaining.select(*FRONTIER_COLS)
             .unionByName(fresh)
             .repartition(cfg.shuffle_partitions, "url_hash")
-            .observe(obs_frontier, F.count(F.lit(1)).alias("n"))
+            .observe(obs_frontier, F.count(F.lit(1)).alias("n"), *part_counts)
             .cache()
         )
         replace_rels["frontier"] = self.store.write_table(
@@ -318,28 +334,44 @@ class CrawlEngine:
                 "crawl_log", log_delta, wave + 1, mode="append"
             )
 
-        # 6. metrics + per-partition lineage (X10 analog / north-star lineage)
-        lineage = next_frontier.groupBy(
-            F.spark_partition_id().alias("partition_id")
-        ).agg(F.count(F.lit(1)).alias("rows"))
-        metrics = lineage.select(
-            F.lit(wave).alias("wave"),
-            F.lit("frontier_partition_rows").alias("metric"),
-            F.col("partition_id").cast("string").alias("key"),
-            F.col("rows").cast("long").alias("value"),
-        ).unionByName(
-            self.spark.createDataFrame(
-                [
-                    (wave, "admitted", None, n_admitted),
-                    (wave, "new_urls", None, max(n_new, 0)),
-                    (wave, "frontier_left", None, n_frontier),
-                ],
-                "wave int, metric string, key string, value long",
+        # 6. metrics + per-partition lineage (X10 analog / north-star
+        #    lineage). The histogram came out of the frontier write's
+        #    Observation, so the metrics delta is a driver-local DataFrame:
+        #    its write is one single-task job with no cache scan or shuffle.
+        obs_row = obs_frontier.get
+        metric_rows = [
+            (wave, "frontier_partition_rows", str(i), int(obs_row[f"p{i}"]))
+            for i in range(cfg.shuffle_partitions)
+            if int(obs_row[f"p{i}"]) > 0
+        ] + [
+            (wave, "admitted", None, n_admitted),
+            (wave, "new_urls", None, max(n_new, 0)),
+            (wave, "frontier_left", None, n_frontier),
+        ]
+        if hasattr(self.store, "write_local_table"):
+            # all values are driver scalars already — write the delta with
+            # pyarrow directly, zero Spark jobs
+            import pyarrow as pa
+
+            cols = list(zip(*metric_rows))
+            pa_tbl = pa.table(
+                {
+                    "wave": pa.array(cols[0], pa.int32()),
+                    "metric": pa.array(cols[1], pa.string()),
+                    "key": pa.array(cols[2], pa.string()),
+                    "value": pa.array(cols[3], pa.int64()),
+                }
             )
-        )
-        append_rels["metrics"] = self.store.write_table(
-            "metrics", metrics, wave + 1, mode="append"
-        )
+            append_rels["metrics"] = self.store.write_local_table(
+                "metrics", pa_tbl, wave + 1
+            )
+        else:  # Iceberg-proper backend: go through a normal table commit
+            metrics = self.spark.createDataFrame(
+                metric_rows, "wave int, metric string, key string, value long"
+            )
+            append_rels["metrics"] = self.store.write_table(
+                "metrics", metrics, wave + 1, mode="append"
+            )
 
         # 7. atomic snapshot publish: every data dir above exists; one
         #    manifest rename makes them all visible together.

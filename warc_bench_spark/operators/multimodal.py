@@ -19,9 +19,12 @@ Decode backends:
   (``data_utils.py:45-73``).
 * ``'fake'`` — deterministic sha-derived outputs for plumbing tests on
   ref-only (no-bytes) corpora.
-* ``'real'`` — the remaining honest boundary: COMPRESSED formats
-  (JPEG/PNG/MP4) need PIL/ffmpeg, absent in this sandbox; that call site
-  raises NotImplementedError exactly where the codec would plug in.
+* ``'real'`` — the remaining honest boundary: the ref-based probes need a
+  blob store + codec. For BYTES columns, JPEG/PNG decode is now gated on
+  ``codecs.pil_available()`` (reference ``image_utils.py`` semantics) —
+  real clusters with pillow installed get real compressed decode; this
+  sandbox (no PIL) raises NotImplementedError exactly at that boundary.
+  MP4 frame decode still needs ffmpeg and remains a documented raise.
 """
 
 from __future__ import annotations
@@ -137,7 +140,9 @@ def decode_media_meta_bytes(
                 data = bytes(blob)
                 kind = codecs.sniff_media_type(data)
                 w = h = n = None
-                if kind in ("image/bmp", "image/x-portable-pixmap"):
+                if codecs.image_decodable(kind):
+                    # BMP/PPM always; JPEG/PNG when the PIL-gated backend
+                    # is available (codecs.pil_available)
                     img = codecs.decode_image(data)
                     h, w, n = img.shape[0], img.shape[1], 1
                 elif kind == "audio/wav":

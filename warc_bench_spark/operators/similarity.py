@@ -228,14 +228,18 @@ def ivf_knn(
     bc = sc.broadcast(centroids)
 
     def _cells(series: pd.Series, top: int) -> pd.Series:
+        # ONE stacked matmul per Arrow batch (no per-row Python): normalize
+        # the (batch, dim) matrix, multiply against the centroid matrix,
+        # then rank cells. argsort of the negated sims keeps the
+        # deterministic index tiebreak of the scalar formulation.
         c = bc.value
-        out = []
-        for v in series:
-            v = np.asarray(v, dtype=np.float64)
-            v = v / max(np.linalg.norm(v), 1e-12)
-            sims = c @ v
-            out.append([int(i) for i in np.argsort(-sims)[:top]])
-        return pd.Series(out)
+        if len(series) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in series])
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ c.T  # (batch, n_centroids)
+        ranked = np.argsort(-sims, axis=1, kind="stable")[:, :top]
+        return pd.Series([[int(i) for i in row] for row in ranked])
 
     @pandas_udf(IntegerType())
     def cell_of(vs: pd.Series) -> pd.Series:

@@ -159,12 +159,16 @@ def sitemap_entries(df: DataFrame, id_cols: list[str], xml_col: str = "sitemap_x
     ) + ", kind string, loc string, lastmod string, priority double"
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # itertuples, not iterrows: each row is a whole XML document so the
+        # regex parse dominates, but iterrows materializes a pandas Series
+        # per row — pure overhead on an ingestion path
         for pdf in batches:
             rows = {k: [] for k in (*id_cols, "kind", "loc", "lastmod", "priority")}
-            for _, row in pdf.iterrows():
-                for e in parse_sitemap(row[xml_col]):
-                    for c in id_cols:
-                        rows[c].append(row[c])
+            for tup in pdf[[*id_cols, xml_col]].itertuples(index=False):
+                ids, xml = tup[: len(id_cols)], tup[len(id_cols)]
+                for e in parse_sitemap(xml):
+                    for c, v in zip(id_cols, ids):
+                        rows[c].append(v)
                     rows["kind"].append(e["kind"])
                     rows["loc"].append(e["loc"])
                     rows["lastmod"].append(e["lastmod"])

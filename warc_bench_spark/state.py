@@ -80,6 +80,20 @@ class SnapshotStore:
         df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
         return rel
 
+    def write_local_table(self, name: str, table, wave: int) -> str:
+        """Write a DRIVER-LOCAL pyarrow Table as one table delta — zero
+        Spark jobs. For small driver-side aggregates (the per-wave metrics
+        rows, already scalars from Observations) a Spark write is pure
+        job-scheduling overhead; the parquet bytes are identical to what a
+        one-partition Spark write would produce and read back the same."""
+        import pyarrow.parquet as pq
+
+        rel = f"data/{name}/wave={wave}"
+        path = os.path.join(self.root, rel)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+        return rel
+
     def publish(
         self,
         wave: int,
