@@ -28,6 +28,7 @@ import warc_bench_spark.plans.similarity_text  # noqa: E402,F401  (extends REGIS
 import warc_bench_spark.plans.evalmetrics  # noqa: E402,F401  (extends REGISTRY)
 import warc_bench_spark.plans.archives  # noqa: E402,F401  (extends REGISTRY)
 import warc_bench_spark.plans.domtree  # noqa: E402,F401  (extends REGISTRY)
+import warc_bench_spark.plans.scheduling  # noqa: E402,F401  (extends REGISTRY)
 import warc_bench_spark.plans.relational2  # noqa: E402,F401  (extends REGISTRY)
 
 

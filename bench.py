@@ -107,6 +107,7 @@ def run_relational(results: dict) -> float:
     import warc_bench_spark.plans.evalmetrics  # noqa: F401
     import warc_bench_spark.plans.archives  # noqa: F401
     import warc_bench_spark.plans.domtree  # noqa: F401
+    import warc_bench_spark.plans.scheduling  # noqa: F401
     import warc_bench_spark.plans.relational2  # noqa: F401
     from warc_bench_spark.plans.relational import REGISTRY
 
