@@ -519,6 +519,150 @@ def q59(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ANN under the oracle: integer-quantized banded LSH top-k
+# ---------------------------------------------------------------------------
+# The float ANN operators (operators/similarity.py lsh_knn / ivf_knn) are
+# recall-tested in pytest; this query puts the SAME banded-LSH shape under
+# the DuckDB value-hash oracle by quantizing embeddings AND hyperplanes to
+# integers (the q27 precedent): every dot product is then exact integer
+# arithmetic in double range (|qv|<=500, |qp|<=5000, dim 64 -> |dot| < 2e8
+# << 2^53), so bucket membership and the final ranking are bit-identical
+# across engines.
+
+ANN_Q = 1000          # quantization scale
+ANN_BAND_BITS = 4
+ANN_N_BANDS = 2
+ANN_TOPK = 5
+ANN_N_PROBES = 5
+
+
+def _ann_planes() -> list[list[int]]:
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return (
+        np.round(rng.standard_normal((ANN_N_BANDS * ANN_BAND_BITS, 64)) * ANN_Q)
+        .astype(int)
+        .tolist()
+    )
+
+
+def _ann_band_sql(planes, band: int) -> str:
+    terms = []
+    for k in range(ANN_BAND_BITS):
+        p = planes[band * ANN_BAND_BITS + k]
+        lit = "[" + ",".join(f"{float(v)!r}" for v in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(qv, {lit}) > 0 THEN {1 << k} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _q62_sql() -> str:
+    planes = _ann_planes()
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * {ANN_Q})) AS qv
+      FROM embeddings),
+    sig AS (
+      SELECT vec_id, qv,
+             {_ann_band_sql(planes, 0)} AS s0,
+             {_ann_band_sql(planes, 1)} AS s1
+      FROM q),
+    pb AS (
+      SELECT vec_id AS probe_id, qv AS pqv, 0 AS band, s0 AS sig
+      FROM sig WHERE vec_id < {ANN_N_PROBES}
+      UNION ALL
+      SELECT vec_id, qv, 1, s1 FROM sig WHERE vec_id < {ANN_N_PROBES}),
+    cb AS (
+      SELECT vec_id AS cand_id, qv, 0 AS band, s0 AS sig
+      FROM sig WHERE vec_id >= {ANN_N_PROBES}
+      UNION ALL
+      SELECT vec_id, qv, 1, s1 FROM sig WHERE vec_id >= {ANN_N_PROBES}),
+    cand AS (
+      SELECT DISTINCT p.probe_id, c.cand_id, c.qv, p.pqv
+      FROM pb p JOIN cb c ON p.band = c.band AND p.sig = c.sig),
+    scored AS (
+      SELECT probe_id, cand_id,
+             CAST(list_dot_product(qv, pqv) AS BIGINT) AS dot_q
+      FROM cand),
+    ranked AS (
+      SELECT probe_id, cand_id, dot_q,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY dot_q DESC, cand_id) AS rank
+      FROM scored)
+    SELECT probe_id, cand_id, dot_q, rank
+    FROM ranked WHERE rank <= {ANN_TOPK} ORDER BY probe_id, rank
+    """
+
+
+@register("q62_ann_lsh_topk", _q62_sql())
+def q62(spark, sf_dir):
+    """Banded-LSH ANN with an exact integer re-rank, fully oracled: quantize,
+    signature per band (sign of plane dots), explode to (band, sig) buckets,
+    probe-corpus equi-join on the bucket key (never all pairs), exact
+    quantized-dot top-k per probe. The bucket join is the 10^10-row scale
+    path — candidates per probe are bounded by bucket occupancy."""
+    from ..operators.similarity import dot_col
+
+    planes = _ann_planes()
+    e = t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"), lambda x: F.round(x * ANN_Q, 0)
+    )
+    base = e.select("vec_id", qv.alias("qv"))
+
+    def band_sig(b: int):
+        bits = []
+        for k in range(ANN_BAND_BITS):
+            p = planes[b * ANN_BAND_BITS + k]
+            lit = F.array(*[F.lit(float(v)) for v in p])
+            bits.append(
+                F.when(dot_col(F.col("qv"), lit) > 0, F.lit(1 << k)).otherwise(F.lit(0))
+            )
+        out = bits[0]
+        for x in bits[1:]:
+            out = out + x
+        return out
+
+    sig = base.select(
+        "vec_id",
+        "qv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
+                    for b in range(ANN_N_BANDS)
+                ]
+            )
+        ).alias("_bs"),
+    ).select("vec_id", "qv", "_bs.band", "_bs.sig")
+    probes = sig.filter(F.col("vec_id") < ANN_N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv"), "band", "sig"
+    )
+    corpus = sig.filter(F.col("vec_id") >= ANN_N_PROBES).select(
+        F.col("vec_id").alias("cand_id"), "qv", "band", "sig"
+    )
+    cand = (
+        corpus.join(F.broadcast(probes), ["band", "sig"])
+        .select("probe_id", "cand_id", "qv", "pqv")
+        .dropDuplicates(["probe_id", "cand_id"])
+    )
+    scored = cand.select(
+        "probe_id",
+        "cand_id",
+        dot_col(F.col("qv"), F.col("pqv")).cast("long").alias("dot_q"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("dot_q"), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= ANN_TOPK)
+        .orderBy("probe_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # End-to-end near-dup pipeline: LSH candidates -> exact Jaccard verify
 # ---------------------------------------------------------------------------
 
