@@ -67,6 +67,13 @@ def get_spark(
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # GC knob for kernel experiments (local mode = driver JVM only).
+        # Measured on the 8M kernel: default G1 is the best of G1-tuned /
+        # ParallelGC / ZGC — the knob stays for cluster-side tuning.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_GC_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
