@@ -281,16 +281,19 @@ def banded_candidate_pairs(
     docs) would make its bucket's self-join quadratic; buckets larger than
     ``max_bucket_size`` are dropped from candidate generation — the
     standard LSH-dedup heuristic (such clusters are found by the exact
-    digest pass instead). The bucket histogram is a partial-aggregate
-    groupBy co-partitioned with the join — no extra wide shuffle.
+    digest pass instead). The bucket histogram is an UNORDERED window
+    count over the band key (no sort, unbounded frame), not a separate
+    groupBy + join: that would re-evaluate the whole signature pipeline a
+    third time (the self-join already reads it twice), and the window's
+    exchange hash-partitions on the same band key the join needs anyway.
     """
-    sizes = (
-        sig.groupBy(*band_cols)
-        .agg(F.count(F.lit(1)).alias("_bn"))
+    bounded = (
+        sig.withColumn(
+            "_bn", F.count(F.lit(1)).over(Window.partitionBy(*band_cols))
+        )
         .filter(F.col("_bn") <= max_bucket_size)
         .drop("_bn")
     )
-    bounded = sig.join(sizes, band_cols)
     a = bounded.alias("a")
     b = bounded.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
