@@ -534,6 +534,7 @@ ANN_BAND_BITS = 4
 ANN_N_BANDS = 2
 ANN_TOPK = 5
 ANN_N_PROBES = 5
+ANN_MAX_BUCKET = 64   # corpus-side stop-bucket cap (same guard as q24)
 
 
 def _ann_planes() -> list[list[int]]:
@@ -575,11 +576,15 @@ def _q62_sql() -> str:
       FROM sig WHERE vec_id < {ANN_N_PROBES}
       UNION ALL
       SELECT vec_id, qv, 1, s1 FROM sig WHERE vec_id < {ANN_N_PROBES}),
-    cb AS (
+    cb0 AS (
       SELECT vec_id AS cand_id, qv, 0 AS band, s0 AS sig
       FROM sig WHERE vec_id >= {ANN_N_PROBES}
       UNION ALL
       SELECT vec_id, qv, 1, s1 FROM sig WHERE vec_id >= {ANN_N_PROBES}),
+    cb AS (
+      SELECT cand_id, qv, band, sig FROM (
+        SELECT cb0.*, COUNT(*) OVER (PARTITION BY band, sig) AS _bn FROM cb0)
+      WHERE _bn <= {ANN_MAX_BUCKET}),
     cand AS (
       SELECT DISTINCT p.probe_id, c.cand_id, c.qv, p.pqv
       FROM pb p JOIN cb c ON p.band = c.band AND p.sig = c.sig),
@@ -641,8 +646,18 @@ def q62(spark, sf_dir):
     probes = sig.filter(F.col("vec_id") < ANN_N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv"), "band", "sig"
     )
-    corpus = sig.filter(F.col("vec_id") >= ANN_N_PROBES).select(
-        F.col("vec_id").alias("cand_id"), "qv", "band", "sig"
+    # stop-bucket guard (q24's cap, ANN flavor): a degenerate band value at
+    # 10^10 rows would make one bucket's candidate fan-out unbounded; such
+    # buckets carry no discriminative signal and are dropped — the same
+    # unordered window count the dedup path uses, co-partitioned with the
+    # bucket join
+    corpus = (
+        sig.filter(F.col("vec_id") >= ANN_N_PROBES)
+        .withColumn(
+            "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+        )
+        .filter(F.col("_bn") <= ANN_MAX_BUCKET)
+        .select(F.col("vec_id").alias("cand_id"), "qv", "band", "sig")
     )
     cand = (
         corpus.join(F.broadcast(probes), ["band", "sig"])
