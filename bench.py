@@ -24,11 +24,13 @@ Two parts:
      pass but 5% of an 8M one. At the 10^10-URL design point a wave is
      5000x bigger still, so amortizing them is the honest direction.
    * interleaved sweeps: each parallelism level is measured in its own
-     fresh process, and the whole (2, 8, 32) sweep repeats
-     $SPARK_GRAFT_KERNEL_SWEEPS (default 2) times with the levels
-     interleaved; the per-level time is the min across all passes of all
-     sweeps. A transient load spike on the shared box then has to hit the
-     same level in every sweep to skew the ratio.
+     fresh process, and the sweep repeats $SPARK_GRAFT_KERNEL_SWEEPS
+     (default 3) times with the levels interleaved; both RATIO levels
+     (2 and N) run in every sweep (the 16N level runs once — it is
+     context, not part of the ratio), and the per-level time is the min
+     across all passes of all sweeps. A transient load spike on the
+     shared box then has to hit the same level in every sweep to skew
+     the ratio.
    * inside each process: one warm-up pass over a 1/8 subset (JIT, Arrow,
      Python workers), then min-of-k timed passes on the full input.
 3. The full wave loop (schedule → fetch → expand → snapshot commit) at 4N
@@ -295,18 +297,15 @@ def main() -> None:
         for c in levels:
             if sweep > 0 and c == CPUS and c not in (2, CPUS_SMALL):
                 continue  # the 16N level is context, not the ratio: sweep 1 only
-            if sweep > 1 and c == 2:
-                # level 2 is empirically stable across rounds (55.2/55.8 s on
-                # identical code); the ratio's variance lives in the 4N
-                # DENOMINATOR, where transient box load can only inflate the
-                # time (and so deflate the efficiency). Extra sweeps sample
-                # the denominator's min harder — contention bias is one-sided,
-                # so more samples are strictly honest.
-                continue
-            # the 4N denominator gets the deepest sampling: observed
-            # run-to-run spread on identical code is +-8% both directions
-            # (t8 16.2-18.7 s, t2 53.4-56.5 s across one afternoon), so the
-            # min needs many draws; contention can only inflate a sample
+            # BOTH ratio levels (2 and N) run in every sweep: per-level
+            # minima across sweeps estimate each level's clean-box floor,
+            # and sampling only one side harder would bias the ratio
+            # (contention inflates a sample, so min-of-many converges
+            # downward for whichever level gets more draws). The 4N level
+            # gets 4 passes per process — its passes are ~4x cheaper, so
+            # equal WALL-TIME sampling, not equal draw counts, is the fair
+            # allocation. Observed identical-code spread: t8 16.2-18.7 s,
+            # t2 47.4-56.5 s across rounds (host-level noise, steal ~= 0).
             n_passes = 2 if c <= 2 else (4 if c == CPUS_SMALL else 3)
             log(f"[bench] kernel sweep {sweep + 1} at local[{c}] ({n_passes} passes)")
             r = _subprocess_measure(

@@ -146,3 +146,18 @@ def test_golden_with_ports_and_unicode_whitespace(spark, tmp_path):
     assert glued, "the NBSP-glued token must crawl as ONE URL on both sides"
     assert not any("/priv" in g[2] and g[3] == h for g in got)
     assert any(g[2].endswith("/priv/x") and g[3] == hp for g in got)
+
+
+def test_readers_empty_not_none_before_first_wave(spark, corpus_dir, tmp_path):
+    """Bootstrap publishes only the frontier (url_seen/crawl_log absent in
+    the wave-0 manifest); the reader API must still hand back typed EMPTY
+    DataFrames — a caller comparing against the simulator's empty log (e.g.
+    an all-robots-blocked seed list) would otherwise hit None."""
+    eng = CrawlEngine(spark, CFG, corpus_dir, str(tmp_path / "state0"))
+    eng.bootstrap()
+    assert eng.crawl_log().collect() == []
+    assert eng.url_seen().collect() == []
+    assert eng.metrics().collect() == []
+    assert [f.name for f in eng.crawl_log().schema] == [
+        "seq", "wave", "canonical_url", "host", "vt", "priority",
+    ]

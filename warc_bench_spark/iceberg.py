@@ -151,6 +151,22 @@ class IcebergSnapshotStore:
             df.writeTo(tbl).append()
         return self._snapshot_id(tbl)
 
+    def write_local_table(self, name: str, table, wave: int) -> int:
+        """Driver-local pyarrow Table delta (same interface as
+        ``SnapshotStore.write_local_table``). Iceberg has no jobless write
+        path — every commit goes through the table format — so this wraps
+        the rows back into a DataFrame and appends normally; callers get
+        one uniform call for small driver-side deltas on either backend."""
+        rows = [
+            tuple(d[f.name] for f in table.schema) for d in table.to_pylist()
+        ]
+        ddl = ", ".join(
+            f"{f.name} "
+            + {"int32": "int", "int64": "long"}.get(str(f.type), "string")
+            for f in table.schema
+        )
+        return self.write_table(name, self.spark.createDataFrame(rows, ddl), wave, mode="append")
+
     def publish(
         self,
         wave: int,

@@ -306,12 +306,14 @@ class CrawlEngine:
             F.count(F.when(F.spark_partition_id() == i, 1)).alias(f"p{i}")
             for i in range(cfg.shuffle_partitions)
         ]
+        # no cache: the write below is next_frontier's ONLY action now that
+        # the count and the lineage histogram ride its Observation (round 2
+        # cached it for the lineage groupBy's second pass)
         next_frontier = (
             remaining.select(*FRONTIER_COLS)
             .unionByName(fresh)
             .repartition(cfg.shuffle_partitions, "url_hash")
             .observe(obs_frontier, F.count(F.lit(1)).alias("n"), *part_counts)
-            .cache()
         )
         replace_rels["frontier"] = self.store.write_table(
             "frontier", next_frontier, wave + 1, mode="replace"
@@ -348,30 +350,24 @@ class CrawlEngine:
             (wave, "new_urls", None, max(n_new, 0)),
             (wave, "frontier_left", None, n_frontier),
         ]
-        if hasattr(self.store, "write_local_table"):
-            # all values are driver scalars already — write the delta with
-            # pyarrow directly, zero Spark jobs
-            import pyarrow as pa
+        # all values are driver scalars already — write_local_table puts
+        # them down without a Spark job on the parquet store (the Iceberg
+        # store routes the same call through a normal table commit, since
+        # every Iceberg write must go through the table format)
+        import pyarrow as pa
 
-            cols = list(zip(*metric_rows))
-            pa_tbl = pa.table(
-                {
-                    "wave": pa.array(cols[0], pa.int32()),
-                    "metric": pa.array(cols[1], pa.string()),
-                    "key": pa.array(cols[2], pa.string()),
-                    "value": pa.array(cols[3], pa.int64()),
-                }
-            )
-            append_rels["metrics"] = self.store.write_local_table(
-                "metrics", pa_tbl, wave + 1
-            )
-        else:  # Iceberg-proper backend: go through a normal table commit
-            metrics = self.spark.createDataFrame(
-                metric_rows, "wave int, metric string, key string, value long"
-            )
-            append_rels["metrics"] = self.store.write_table(
-                "metrics", metrics, wave + 1, mode="append"
-            )
+        cols = list(zip(*metric_rows))
+        pa_tbl = pa.table(
+            {
+                "wave": pa.array(cols[0], pa.int32()),
+                "metric": pa.array(cols[1], pa.string()),
+                "key": pa.array(cols[2], pa.string()),
+                "value": pa.array(cols[3], pa.int64()),
+            }
+        )
+        append_rels["metrics"] = self.store.write_local_table(
+            "metrics", pa_tbl, wave + 1
+        )
 
         # 7. atomic snapshot publish: every data dir above exists; one
         #    manifest rename makes them all visible together.
@@ -393,7 +389,6 @@ class CrawlEngine:
         elif self.seen_filter == "cuckoo":
             self.cuckoos.update(spark, cuckoo_payload, seen_delta, wave)
         admitted.unpersist()
-        next_frontier.unpersist()
         cand.unpersist()
         return WaveStats(wave, n_admitted, max(n_new, 0), n_frontier)
 
@@ -422,13 +417,32 @@ class CrawlEngine:
         return stats
 
     # ---------------------------------------------------------------- readers
+    # Absent tables (a bootstrap-only store, or a corpus whose seeds were
+    # all robots-blocked) read as typed EMPTY DataFrames, never None — the
+    # golden comparison against the simulator's empty log must still work.
 
     def crawl_log(self) -> DataFrame:
         df = self.store.read_table(self.spark, "crawl_log")
-        return df.orderBy("seq") if df is not None else None
+        if df is None:
+            return self.spark.createDataFrame(
+                [],
+                "seq long, wave int, canonical_url string, host string, "
+                "vt long, priority int",
+            )
+        return df.orderBy("seq")
 
     def url_seen(self) -> DataFrame:
-        return self.store.read_table(self.spark, "url_seen")
+        df = self.store.read_table(self.spark, "url_seen")
+        if df is None:
+            return self.spark.createDataFrame(
+                [], "url_hash string, canonical_url string, wave int"
+            )
+        return df
 
     def metrics(self) -> DataFrame:
-        return self.store.read_table(self.spark, "metrics")
+        df = self.store.read_table(self.spark, "metrics")
+        if df is None:
+            return self.spark.createDataFrame(
+                [], "wave int, metric string, key string, value long"
+            )
+        return df

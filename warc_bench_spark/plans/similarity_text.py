@@ -609,7 +609,7 @@ def q62(spark, sf_dir):
     probe-corpus equi-join on the bucket key (never all pairs), exact
     quantized-dot top-k per probe. The bucket join is the 10^10-row scale
     path — candidates per probe are bounded by bucket occupancy."""
-    from ..operators.similarity import dot_col
+    from ..operators.similarity import dot_col, signature_col
 
     planes = _ann_planes()
     e = t(spark, sf_dir, "embeddings")
@@ -619,17 +619,14 @@ def q62(spark, sf_dir):
     base = e.select("vec_id", qv.alias("qv"))
 
     def band_sig(b: int):
-        bits = []
-        for k in range(ANN_BAND_BITS):
-            p = planes[b * ANN_BAND_BITS + k]
-            lit = F.array(*[F.lit(float(v)) for v in p])
-            bits.append(
-                F.when(dot_col(F.col("qv"), lit) > 0, F.lit(1 << k)).otherwise(F.lit(0))
-            )
-        out = bits[0]
-        for x in bits[1:]:
-            out = out + x
-        return out
+        # the SAME signature formula the recall-tested float operator uses
+        # (operators/similarity.py::signature_col), fed this band's slice
+        # of the quantized planes — one definition, no drift
+        sub = [
+            [float(v) for v in p]
+            for p in planes[b * ANN_BAND_BITS : (b + 1) * ANN_BAND_BITS]
+        ]
+        return signature_col(F.col("qv"), sub)
 
     sig = base.select(
         "vec_id",

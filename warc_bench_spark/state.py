@@ -90,6 +90,11 @@ class SnapshotStore:
 
         rel = f"data/{name}/wave={wave}"
         path = os.path.join(self.root, rel)
+        # same overwrite semantics as write_table's mode('overwrite'): a
+        # crash between write and publish can leave an orphan wave dir from
+        # a previous attempt (possibly Spark-written); a rewrite of the
+        # same wave must truncate it or read_table would see both deltas
+        shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
         pq.write_table(table, os.path.join(path, "part-00000.parquet"))
         return rel
