@@ -50,6 +50,27 @@ def test_axtrees_differ_threshold():
     assert not axtrees_differ(long_a, long_b)
 
 
+def test_cdifflib_backend_matches_stdlib():
+    """Gated parity check for the C backend (reference's data_utils.py:14
+    dependency): CSequenceMatcher must produce the identical ratio. Skips
+    where cdifflib is absent — then the module already IS stdlib difflib."""
+    from warc_bench_spark.functions import textsim
+
+    if not textsim.cdifflib_available():
+        pytest.skip("cdifflib not installed — pure-python backend active")
+    from cdifflib import CSequenceMatcher
+
+    pairs = [
+        ("button A\nlink B", "button A\nlink C"),
+        ("x" * 5000, "x" * 4999 + "y"),
+        ("", "nonempty"),
+        ("päge ünïcode", "päge unicode"),
+    ]
+    for a, b in pairs:
+        assert textsim.axtree_similarity(a, b) == SequenceMatcher(None, a, b).ratio()
+        assert CSequenceMatcher(None, a, b).ratio() == SequenceMatcher(None, a, b).ratio()
+
+
 def test_axtree_similarity_udf_matches_python(spark):
     rows = [
         ("button A\nlink B", "button A\nlink C"),

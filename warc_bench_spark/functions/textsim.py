@@ -12,6 +12,16 @@ The ratio algorithm is not expressible in SQL, so the Spark lift is an
 Arrow-batched pandas UDF (one Python call per pair, vectorized transfer);
 the driver's oracle records a rows-only check and ``tests/test_textsim.py``
 pins the numbers against this pure-Python reference implementation.
+
+Backend: when ``cdifflib`` is installed (the reference's own dependency —
+``data_utils.py:14`` imports ``CSequenceMatcher``), the C implementation is
+used; it computes the identical number ~10-40x faster. This sandbox ships
+only stdlib ``difflib``, so the probe (``cdifflib_available``, same gating
+pattern as ``codecs.pil_available``) falls back — the one honest O(n^2)
+pure-Python boundary in the package. Identical strings short-circuit to 1.0
+(SequenceMatcher(None, a, a).ratio() == 1.0 by definition: every char
+matches), which is the dominant case for a change-detector over crawl
+states that usually have NOT changed.
 """
 
 from __future__ import annotations
@@ -22,8 +32,22 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
+try:  # reference C backend (data_utils.py:14); pure-python fallback here
+    from cdifflib import CSequenceMatcher as _Matcher
+
+    _CDIFFLIB = True
+except ImportError:
+    _Matcher = SequenceMatcher
+    _CDIFFLIB = False
+
 DEFAULT_SIMILARITY_THRESHOLD = 0.9999
 DEFAULT_MAX_LENGTH = 50_000
+
+
+def cdifflib_available() -> bool:
+    """True when the C SequenceMatcher backend is active (probe, not a
+    behavior switch: both backends produce bit-identical ratios)."""
+    return _CDIFFLIB
 
 
 def keep_middle(string: str, length: int) -> str:
@@ -41,7 +65,9 @@ def axtree_similarity(
     """SequenceMatcher ratio of the middle-truncated strings."""
     a = keep_middle(a or "", max_length)
     b = keep_middle(b or "", max_length)
-    return SequenceMatcher(None, a, b).ratio()
+    if a == b:
+        return 1.0  # exact short-circuit (ratio of equal strings is 1.0)
+    return _Matcher(None, a, b).ratio()
 
 
 def axtrees_differ(
