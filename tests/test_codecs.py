@@ -204,3 +204,60 @@ def test_pil_decode_roundtrip():
     assert image_mse(jpg_dec, img) < 0.05  # lossy but close
 
     assert not screenshots_differ(png_dec, png_dec)
+
+
+# ---------------------------------------------- ffmpeg-gated video path (M4)
+
+# minimal ISO-BMFF prefix: 4-byte box size + 'ftyp' + brand (magic-sniff
+# only; full decode is exercised in the gated test below)
+_MP4_MAGIC = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16
+
+
+def test_sniff_mp4_magic_without_backend():
+    """ftyp-box sniffing (ISO/IEC 14496-12) needs no codec at all."""
+    assert sniff_media_type(_MP4_MAGIC) == "video/mp4"
+    assert sniff_media_type(b"\x00\x00\x00\x18stypisom") is None
+
+
+def test_video_boundary_without_backend():
+    """Without imageio[ffmpeg]/av the video branch raises the documented
+    NotImplementedError (not a silent fake); with a backend it must decode."""
+    from warc_bench_spark.functions.codecs import (
+        decode_video_frames,
+        video_available,
+        video_decodable,
+    )
+
+    if video_available():
+        pytest.skip("video backend present: covered by the gated roundtrip")
+    assert not video_decodable("video/mp4")
+    with pytest.raises(NotImplementedError, match="imageio|av"):
+        decode_video_frames(_MP4_MAGIC, every_n=10)
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "warc_bench_spark.functions.codecs", fromlist=["video_available"]
+    ).video_available(),
+    reason="no imageio[ffmpeg]/av (the documented compressed-video boundary)",
+)
+def test_video_decode_roundtrip(tmp_path):
+    """Gated on video_available(): encode a tiny synthetic clip with the
+    installed backend, then decode_video_frames must return every-n-th
+    frame in order with the right shapes and total count."""
+    import imageio.v3 as iio
+
+    frames = [
+        np.full((16, 24, 3), (i * 23) % 256, dtype=np.uint8) for i in range(12)
+    ]
+    path = tmp_path / "clip.mp4"
+    iio.imwrite(path, frames, fps=6, extension=".mp4")
+    data = path.read_bytes()
+    assert sniff_media_type(data) == "video/mp4"
+
+    from warc_bench_spark.functions.codecs import decode_video_frames
+
+    sampled, total = decode_video_frames(data, every_n=5)
+    assert total == 12
+    assert len(sampled) == 3  # frames 0, 5, 10
+    assert all(f.shape == (16, 24, 3) for f in sampled)

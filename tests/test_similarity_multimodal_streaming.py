@@ -179,6 +179,59 @@ def test_multimodal_plumbing(spark):
         decode_media_meta(docs, backend="real").collect()
 
 
+def test_sample_video_frames_bytes_fake_backend(spark):
+    """M4 frame-sampling plumbing with the deterministic fake decoder: the
+    mapInPandas fan-out, schema, and every-n-th sampling pattern are real;
+    only the codec is sha-derived (the real path is ffmpeg-gated below)."""
+    import hashlib
+
+    from warc_bench_spark.operators.multimodal import sample_video_frames_bytes
+
+    rows = [(f"vid{i}", b"\x00\x00\x00\x18ftypisom" + bytes([i])) for i in range(5)]
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+    out = sample_video_frames_bytes(df, every_n=30, backend="fake").collect()
+
+    by_ref: dict[str, list] = {}
+    for r in out:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    for ref, frames in by_ref.items():
+        h = int(hashlib.sha256(ref.encode()).hexdigest()[:8], 16)
+        n_frames = 1 + h % 240
+        idxs = sorted(r["frame_index"] for r in frames)
+        assert idxs == list(range(0, n_frames, 30))
+        assert all(len(r["mean_rgb"]) == 3 for r in frames)
+        assert all(r["height"] == 64 + h % 256 for r in frames)
+
+
+def test_sample_video_frames_bytes_gated_real(spark, tmp_path):
+    """Gated on codecs.video_available(): real MP4 bytes through the Spark
+    stage; skips (documented boundary) where no video backend exists."""
+    from warc_bench_spark.functions import codecs
+    from warc_bench_spark.operators.multimodal import sample_video_frames_bytes
+
+    if not codecs.video_available():
+        df = spark.createDataFrame(
+            [("v", b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16)],
+            "media_ref string, content binary",
+        )
+        with pytest.raises(Exception, match="imageio|av|NotImplementedError"):
+            sample_video_frames_bytes(df, every_n=5).collect()
+        pytest.skip("no video backend — raise-at-boundary verified instead")
+
+    import imageio.v3 as iio
+    import numpy as np
+
+    frames = [np.full((16, 24, 3), i * 20, dtype=np.uint8) for i in range(11)]
+    path = tmp_path / "clip.mp4"
+    iio.imwrite(path, frames, fps=5, extension=".mp4")
+    df = spark.createDataFrame(
+        [("clip", path.read_bytes())], "media_ref string, content binary"
+    )
+    out = sample_video_frames_bytes(df, every_n=5).collect()
+    assert sorted(r["frame_index"] for r in out) == [0, 5, 10]
+    assert all((r["height"], r["width"]) == (16, 24) for r in out)
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     from warc_bench_spark.streaming.windowed import (
         windowed_event_counts_batch,

@@ -190,7 +190,89 @@ def sniff_media_type(data: bytes) -> str | None:
         return "image/jpeg"
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return "image/png"
+    # ISO-BMFF: a size-prefixed 'ftyp' box leads the file (public spec,
+    # ISO/IEC 14496-12 §4.3); covers .mp4/.mov/.m4v brands
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "video/mp4"
     return None
+
+
+VIDEO_TYPES = frozenset({"video/mp4"})
+
+
+def video_available() -> bool:
+    """Availability probe for the video-decode backend (same gating pattern
+    as ``pil_available``): prefer ``imageio`` with an ffmpeg plugin, then
+    PyAV. Neither ships in this sandbox, so MP4 decode is gated, not faked
+    — a real cluster installs ``imageio[ffmpeg]`` or ``av`` and the real
+    branch activates."""
+    try:
+        import imageio.v3  # noqa: F401
+
+        import imageio_ffmpeg  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    try:
+        import av  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def video_decodable(kind: str | None) -> bool:
+    return kind in VIDEO_TYPES and video_available()
+
+
+def decode_video_frames(
+    data: bytes, every_n: int = 30
+) -> tuple[list[np.ndarray], int]:
+    """MP4 bytes -> (every-n-th frame as HxWx3 uint8 RGB, total frame count).
+
+    Deterministic frame sampling: indices 0, n, 2n, ... in decode order —
+    the same plan ``multimodal.sample_frames`` emits, so the bytes-level
+    decode and the metadata-level sampling plan agree row for row. Gated on
+    ``video_available()``; without a backend this raises (never fakes) at
+    exactly the compressed-video boundary documented in
+    ``operators/multimodal.py``.
+    """
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    try:
+        import imageio.v3 as iio
+
+        import imageio_ffmpeg  # noqa: F401
+
+        frames: list[np.ndarray] = []
+        total = 0
+        for i, frame in enumerate(iio.imiter(data, extension=".mp4")):
+            if i % every_n == 0:
+                frames.append(np.asarray(frame)[..., :3])
+            total = i + 1
+        return frames, total
+    except ImportError:
+        pass
+    try:
+        import io
+
+        import av
+
+        frames = []
+        total = 0
+        with av.open(io.BytesIO(data)) as container:
+            for i, frame in enumerate(container.decode(video=0)):
+                if i % every_n == 0:
+                    frames.append(frame.to_ndarray(format="rgb24"))
+                total = i + 1
+        return frames, total
+    except ImportError:
+        raise NotImplementedError(
+            "video/mp4 decode needs imageio[ffmpeg] or av (absent in this "
+            "environment); install either and this branch activates — the "
+            "documented compressed-video boundary"
+        ) from None
 
 
 def decode_image(data: bytes) -> np.ndarray:

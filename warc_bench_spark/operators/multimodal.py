@@ -19,12 +19,13 @@ Decode backends:
   (``data_utils.py:45-73``).
 * ``'fake'`` — deterministic sha-derived outputs for plumbing tests on
   ref-only (no-bytes) corpora.
-* ``'real'`` — the remaining honest boundary: the ref-based probes need a
-  blob store + codec. For BYTES columns, JPEG/PNG decode is now gated on
-  ``codecs.pil_available()`` (reference ``image_utils.py`` semantics) —
-  real clusters with pillow installed get real compressed decode; this
-  sandbox (no PIL) raises NotImplementedError exactly at that boundary.
-  MP4 frame decode still needs ffmpeg and remains a documented raise.
+* ``'real'`` — the ref-based probes (no bytes column) need a blob store,
+  which stays the one un-gateable boundary here. For BYTES columns every
+  compressed format is availability-gated, never faked: JPEG/PNG on
+  ``codecs.pil_available()`` (reference ``image_utils.py`` semantics) and
+  MP4 frame decode on ``codecs.video_available()`` (imageio[ffmpeg] or
+  PyAV probe) — real clusters with the lib installed get real decode;
+  this sandbox raises NotImplementedError exactly at those boundaries.
 """
 
 from __future__ import annotations
@@ -148,6 +149,13 @@ def decode_media_meta_bytes(
                 elif kind == "audio/wav":
                     samples, _rate = codecs.decode_wav(data)
                     n = int(samples.shape[0])
+                elif codecs.video_decodable(kind):
+                    # MP4 when the ffmpeg-gated backend is available
+                    # (codecs.video_available); without it the row keeps
+                    # its sniffed type with null dims — degraded, not fake
+                    frames, n = codecs.decode_video_frames(data, every_n=1 << 30)
+                    if frames:
+                        h, w = frames[0].shape[0], frames[0].shape[1]
                 out["media_ref"].append(ref)
                 out["media_type"].append(kind)
                 out["width"].append(w)
@@ -305,6 +313,88 @@ def web_states_differ_df(
         f"{f.name} {f.dataType.simpleString()}" for f in pairs.schema if f.name in keep
     )
     return pairs.mapInPandas(diff, out_schema + ", changed boolean")
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("frame_index", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("mean_rgb", ArrayType(FloatType())),
+    ]
+)
+
+
+def sample_video_frames_bytes(
+    media: DataFrame,
+    every_n: int = 30,
+    ref_col: str = "media_ref",
+    bytes_col: str = "content",
+    backend: str = "real",
+) -> DataFrame:
+    """Video bytes -> one row per sampled frame (every ``every_n``-th frame
+    in decode order, deterministic — the M4 frame-sampling stage).
+
+    ``backend='real'`` decodes with the ffmpeg-gated codec
+    (``codecs.decode_video_frames``); where no backend exists the task
+    raises at that documented boundary. ``backend='fake'`` produces
+    sha-derived frames with the SAME schema and sampling pattern so the
+    Spark plumbing (mapInPandas batching, per-frame fan-out, schema) is
+    exercised end-to-end in codec-less environments.
+    """
+    import hashlib as _hl
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_ref": [], "frame_index": [], "height": [],
+                   "width": [], "mean_rgb": []}
+            for ref, blob in zip(pdf[ref_col], pdf[bytes_col]):
+                if backend == "fake":
+                    h = int(_hl.sha256(str(ref).encode()).hexdigest()[:8], 16)
+                    n_frames, fh, fw = 1 + h % 240, 64 + h % 256, 64 + (h // 7) % 256
+                    frames = [
+                        (
+                            i,
+                            fh,
+                            fw,
+                            [
+                                float(b) / 255.0
+                                for b in _hl.sha256(
+                                    f"{ref}#{i}".encode()
+                                ).digest()[:3]
+                            ],
+                        )
+                        for i in range(0, n_frames, every_n)
+                    ]
+                else:
+                    from ..functions import codecs
+
+                    decoded, _total = codecs.decode_video_frames(
+                        bytes(blob), every_n=every_n
+                    )
+                    frames = [
+                        (
+                            i * every_n,
+                            f.shape[0],
+                            f.shape[1],
+                            [float(v) for v in f.reshape(-1, 3).mean(axis=0) / 255.0],
+                        )
+                        for i, f in enumerate(decoded)
+                    ]
+                for idx, fh, fw, rgb in frames:
+                    out["media_ref"].append(ref)
+                    out["frame_index"].append(idx)
+                    out["height"].append(fh)
+                    out["width"].append(fw)
+                    out["mean_rgb"].append(rgb)
+            yield pd.DataFrame(out).astype(
+                {"frame_index": "int32", "height": "int32", "width": "int32"}
+            )
+
+    return media.select(
+        F.col(ref_col).alias(ref_col), F.col(bytes_col).alias(bytes_col)
+    ).mapInPandas(sample, FRAME_SCHEMA)
 
 
 def sample_frames(meta: DataFrame, every_n: int = 30) -> DataFrame:
