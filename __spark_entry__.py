@@ -18,8 +18,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Registration order matters: the correctness driver evaluates the FIRST 50
-# registry entries, so the newest operator families (evalmetrics, archives,
+# ---------------------------------------------------------------------------
+# WINDOW CONTRACT (the driver evaluates only the FIRST 50 queries() entries):
+#   1. every query not yet holding a green driver row of record (a
+#      CORRECTNESS_r0N.json row with hash_match=true, or err="no_oracle"
+#      with a row count for the explicitly rows-only set) MUST sit inside
+#      the first 50 entries — import order below controls this;
+#   2. queries rotated OUT of the window must already hold a green row in a
+#      committed CORRECTNESS_r0N.json AND stay covered by the local oracle
+#      harness (tests/test_oracle_local.py runs the FULL registry);
+#   3. every entry has oracle SQL, or is listed in ROWS_ONLY with the
+#      reason it cannot be SQL-expressed.
+# tests/test_registry_window.py asserts all three against the committed
+# correctness records, so a reorder that silently strands an unverified
+# query fails CI.
+# ---------------------------------------------------------------------------
+# Current order: the newest operator families (evalmetrics, archives,
 # domtree, the q59/q60 pipeline ops) register BEFORE relational2 — whose
 # operator families are also exercised by q01-q31 and hold green round-2
 # driver rows (VERDICT r2 item: q50-q58 had no driver correctness row).
@@ -30,6 +44,17 @@ import warc_bench_spark.plans.archives  # noqa: E402,F401  (extends REGISTRY)
 import warc_bench_spark.plans.domtree  # noqa: E402,F401  (extends REGISTRY)
 import warc_bench_spark.plans.scheduling  # noqa: E402,F401  (extends REGISTRY)
 import warc_bench_spark.plans.relational2  # noqa: E402,F401  (extends REGISTRY)
+
+
+# Queries that CANNOT have a DuckDB value-hash oracle, with why; the driver
+# records the weaker rows-only check for these (window-contract item 3).
+ROWS_ONLY: dict[str, str] = {
+    "q48_axtree_similarity": (
+        "difflib.SequenceMatcher.ratio (reference data_utils.py:75-100) is "
+        "not expressible in SQL; pinned against the pure-Python reference "
+        "implementation in tests/test_textsim.py"
+    ),
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:

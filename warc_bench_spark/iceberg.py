@@ -160,11 +160,31 @@ class IcebergSnapshotStore:
         rows = [
             tuple(d[f.name] for f in table.schema) for d in table.to_pylist()
         ]
-        ddl = ", ".join(
-            f"{f.name} "
-            + {"int32": "int", "int64": "long"}.get(str(f.type), "string")
-            for f in table.schema
-        )
+        # explicit arrow->Spark DDL map; raising on an unmapped type beats
+        # silently degrading it to string (a latent type-corruption footgun
+        # for future callers of the shared store interface)
+        type_map = {
+            "bool": "boolean",
+            "int32": "int",
+            "int64": "long",
+            "float": "float",
+            "double": "double",
+            "string": "string",
+            "large_string": "string",
+            "date32[day]": "date",
+            "timestamp[us]": "timestamp",
+            "binary": "binary",
+        }
+        parts = []
+        for f in table.schema:
+            t = str(f.type)
+            if t not in type_map:
+                raise TypeError(
+                    f"write_local_table: unmapped arrow type {t!r} for "
+                    f"column {f.name!r} — extend the type map"
+                )
+            parts.append(f"{f.name} {type_map[t]}")
+        ddl = ", ".join(parts)
         return self.write_table(name, self.spark.createDataFrame(rows, ddl), wave, mode="append")
 
     def publish(

@@ -301,10 +301,20 @@ class CrawlEngine:
         # count-if per shuffle partition: the partition count is a config
         # constant, so this is a fixed-width aggregate evaluated in the
         # same pass as the write, regardless of data size.
+        # Version-sensitivity note: spark_partition_id() is flagged
+        # nondeterministic, and some Spark contexts reject nondeterministic
+        # expressions inside aggregates — inside an Observation on the
+        # deployed version this is accepted (pinned by the golden tests
+        # that run run_wave end-to-end). The histogram width is capped so
+        # the Observation stays a fixed-width aggregate even under a
+        # shuffle_partitions=2000 cluster config; above the cap, partition
+        # ids fold into `width` buckets (mod), which keeps the skew signal
+        # while bounding the driver-side row width.
+        hist_width = min(cfg.shuffle_partitions, 64)
         obs_frontier = Observation()
         part_counts = [
-            F.count(F.when(F.spark_partition_id() == i, 1)).alias(f"p{i}")
-            for i in range(cfg.shuffle_partitions)
+            F.count(F.when(F.spark_partition_id() % hist_width == i, 1)).alias(f"p{i}")
+            for i in range(hist_width)
         ]
         # no cache: the write below is next_frontier's ONLY action now that
         # the count and the lineage histogram ride its Observation (round 2
@@ -343,7 +353,7 @@ class CrawlEngine:
         obs_row = obs_frontier.get
         metric_rows = [
             (wave, "frontier_partition_rows", str(i), int(obs_row[f"p{i}"]))
-            for i in range(cfg.shuffle_partitions)
+            for i in range(hist_width)
             if int(obs_row[f"p{i}"]) > 0
         ] + [
             (wave, "admitted", None, n_admitted),

@@ -54,13 +54,25 @@ def tfidf_matrix(texts: list[str]) -> np.ndarray:
     return w / norms[:, None]
 
 
-def similar_pair_mask(texts: list[str], threshold: float) -> np.ndarray:
-    """Boolean keep-mask per text — the greedy loop of goal_filtering.py."""
+def similar_pair_mask(
+    texts: list[str], threshold: float, sim_decimals: int | None = None
+) -> np.ndarray:
+    """Boolean keep-mask per text — the greedy loop of goal_filtering.py.
+
+    ``sim_decimals`` rounds the cosine matrix before the threshold compare.
+    The reference compares raw floats (``sim_decimals=None``, the default,
+    pinned in tests); rounding only changes decisions for cosines within a
+    summation-order ulp of a decimal boundary, and makes the operator
+    cross-engine deterministic — that is what puts q53 under the driver's
+    value-hash oracle (same discipline as q49's ``is_near_dup``).
+    """
     n = len(texts)
     if n <= 1:
         return np.ones(n, dtype=bool)
     w = tfidf_matrix(texts)
     sim = w @ w.T
+    if sim_decimals is not None:
+        sim = np.round(sim, sim_decimals)
     np.fill_diagonal(sim, 0.0)
     keep: set[int] = set()
     remove: set[int] = set()
@@ -80,19 +92,20 @@ def remove_similar_in_group(
     text_col: str,
     threshold: float = 0.99,
     order_col: str | None = None,
+    sim_decimals: int | None = None,
 ) -> DataFrame:
     """Drop near-duplicate rows within each group (D3 literal semantics).
 
     ``order_col`` pins the greedy iteration order (the reference iterates in
     DataFrame row order; distributed inputs need an explicit total order per
-    group to be deterministic).
+    group to be deterministic). ``sim_decimals`` — see similar_pair_mask.
     """
     schema = df.schema
     order = order_col or text_col
 
     def filter_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
-        mask = similar_pair_mask(list(pdf[text_col]), threshold)
+        mask = similar_pair_mask(list(pdf[text_col]), threshold, sim_decimals)
         return pdf[mask]
 
     return df.groupBy(group_col).applyInPandas(filter_group, schema)

@@ -218,11 +218,91 @@ def q49(spark, sf_dir):
     )
 
 
-@register("q53_tfidf_neardup_filter", None)  # greedy loop: not SQL-expressible
+@register(
+    "q53_tfidf_neardup_filter",
+    rf"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, source, lower(text) AS txt,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS idx
+        FROM documents WHERE doc_id < 200
+    ), grp AS (
+        SELECT source, COUNT(*) AS n FROM docs GROUP BY source
+    ), tok AS (
+        SELECT doc_id, source, u.token
+        FROM docs, unnest(regexp_extract_all(txt, '{TOKEN_PATTERN}')) AS u(token)
+    ), tf AS (
+        SELECT doc_id, source, token, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tok GROUP BY doc_id, source, token
+    ), dfreq AS (
+        SELECT source, token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tok GROUP BY source, token
+    ), w AS (
+        SELECT tf.doc_id, tf.source, tf.token,
+               tf.tf * (ln((1 + grp.n) / (1 + dfreq.df)) + 1) AS w
+        FROM tf JOIN grp USING (source) JOIN dfreq USING (source, token)
+    ), norms AS (
+        SELECT doc_id, source, sqrt(SUM(w*w)) AS nrm FROM w GROUP BY doc_id, source
+    ), pairs AS (
+        SELECT w1.source, w1.doc_id AS doc_a, w2.doc_id AS doc_b,
+               SUM(w1.w * w2.w) AS dot
+        FROM w w1 JOIN w w2
+          ON w1.source = w2.source AND w1.token = w2.token
+         AND w1.doc_id < w2.doc_id
+        GROUP BY w1.source, w1.doc_id, w2.doc_id
+    ), simpairs AS (
+        -- rounded cosine > threshold (the q49 exactness discipline: both
+        -- engines round before comparing, so summation-order ulps can't
+        -- flip a greedy decision)
+        SELECT p.source, ia.idx AS i, ib.idx AS j
+        FROM pairs p
+        JOIN norms n1 ON n1.source = p.source AND n1.doc_id = p.doc_a
+        JOIN norms n2 ON n2.source = p.source AND n2.doc_id = p.doc_b
+        JOIN docs ia ON ia.source = p.source AND ia.doc_id = p.doc_a
+        JOIN docs ib ON ib.source = p.source AND ib.doc_id = p.doc_b
+        WHERE round(p.dot / (n1.nrm * n2.nrm), 4) > 0.8
+    ), sims AS (
+        SELECT source, i, j FROM simpairs
+        UNION ALL
+        SELECT source, j, i FROM simpairs
+    ), step AS (
+        -- goal_filtering.py's greedy loop as a recursive CTE: one step per
+        -- doc (in doc_id order) per source, carrying the keep/remove sets
+        SELECT source, CAST(0 AS BIGINT) AS i,
+               CAST([] AS BIGINT[]) AS keep, CAST([] AS BIGINT[]) AS rem
+        FROM grp
+        UNION ALL
+        SELECT s.source, s.i + 1,
+            CASE WHEN list_contains(s.rem, s.i) THEN s.keep
+                 WHEN EXISTS (SELECT 1 FROM sims d
+                              WHERE d.source = s.source AND d.i = s.i)
+                 THEN list_append(s.keep, s.i) ELSE s.keep END,
+            CASE WHEN list_contains(s.rem, s.i) THEN s.rem
+                 ELSE list_distinct(s.rem ||
+                      COALESCE((SELECT list(d.j) FROM sims d
+                                WHERE d.source = s.source AND d.i = s.i),
+                               CAST([] AS BIGINT[]))) END
+        FROM step s JOIN grp g ON g.source = s.source
+        WHERE s.i < g.n
+    ), final AS (
+        SELECT s.source, s.keep, s.rem
+        FROM step s JOIN grp g ON g.source = s.source AND s.i = g.n
+    )
+    SELECT d.doc_id, d.source
+    FROM docs d JOIN final f ON f.source = d.source
+    WHERE NOT list_contains(f.rem, d.idx) OR list_contains(f.keep, d.idx)
+    ORDER BY d.doc_id
+    """,
+)
 def q53(spark, sf_dir):
     """D3 literal, full semantics: the greedy keep/remove loop of
-    goal_filtering.py over (source, text) groups via applyInPandas.
-    Rows-only oracle; pinned against a pure-Python port in
+    goal_filtering.py:8-100 over (source, text) groups via applyInPandas.
+    Under the full value-hash oracle since round 4: the cosine threshold
+    compares the 4-dp-ROUNDED similarity on both sides (sim_decimals=4 —
+    the q62 quantization playbook), and the oracle expresses the greedy
+    loop as a DuckDB recursive CTE over the bounded per-group candidate
+    lists. Threshold 0.8 so the removal path does real work on this corpus
+    (~10% of docs are near-dups at 0.8; at the reference default 0.99 the
+    loop is a no-op here). The raw-float reference default stays pinned in
     tests/test_textsim.py."""
     from ..operators.neardup import remove_similar_in_group
 
@@ -232,7 +312,12 @@ def q53(spark, sf_dir):
         .select("doc_id", "source", "text")
     )
     kept = remove_similar_in_group(
-        docs, group_col="source", text_col="text", threshold=0.99, order_col="doc_id"
+        docs,
+        group_col="source",
+        text_col="text",
+        threshold=0.8,
+        order_col="doc_id",
+        sim_decimals=4,
     )
     return kept.select("doc_id", "source").orderBy("doc_id")
 
