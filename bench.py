@@ -212,7 +212,12 @@ def run_kernel_at(
     return min(d for d, _ in passes), passes[0][1]
 
 
-def run_crawl_at(cores: int, corpus_dir: str, big: bool = False) -> tuple[float, int]:
+def run_crawl_at(
+    cores: int, corpus_dir: str, big: bool = False
+) -> tuple[float, int, dict]:
+    from pyspark.sql import functions as F
+
+    from warc_bench_spark.functions.urls import canonicalize_with_host_udf
     from warc_bench_spark.operators.crawl import CrawlEngine
 
     cfg = BIG_CFG if big else BENCH_CFG
@@ -225,13 +230,29 @@ def run_crawl_at(cores: int, corpus_dir: str, big: bool = False) -> tuple[float,
     spark.sparkContext.setLogLevel("ERROR")
     state = f"{WORK}/state_{cores}_{'big' if big else 'small'}"
     shutil.rmtree(state, ignore_errors=True)
+    # pre-warm the first-job JVM/Arrow/committer paths outside the timed
+    # region, the same way the kernel warms up: a tiny Arrow-UDF pass, a
+    # shuffle, and a parquet write — code paths, not the measured data
+    warm = spark.createDataFrame(
+        [(f"https://warm{i}.example.com/a?x={i}",) for i in range(64)], "url string"
+    )
+    warm.select(canonicalize_with_host_udf("url")).collect()
+    spark.range(0, 1024).groupBy(F.col("id") % 8).count().collect()
+    spark.range(0, 128).write.mode("overwrite").parquet(f"{state}_warm")
+    shutil.rmtree(f"{state}_warm", ignore_errors=True)
+
     eng = CrawlEngine(spark, cfg, corpus_dir, state, use_bloom=True)
     t0 = time.perf_counter()
     stats = eng.run()
     dt = time.perf_counter() - t0
     n = sum(s.admitted for s in stats)
+    phases: dict[str, float] = {}
+    for s in stats:
+        for k, v in s.phases.items():
+            phases[k] = round(phases.get(k, 0.0) + v, 3)
+    phases["other_bootstrap_manifest"] = round(dt - sum(phases.values()), 3)
     spark.stop()
-    return dt, n
+    return dt, n, phases
 
 
 def _subprocess_measure(args: list[str]) -> dict:
@@ -257,8 +278,8 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--wave-worker":
         big = len(sys.argv) > 4 and sys.argv[4] == "big"
-        dt, n = run_crawl_at(int(sys.argv[2]), sys.argv[3], big=big)
-        print(json.dumps({"sec": dt, "n": n}))
+        dt, n, phases = run_crawl_at(int(sys.argv[2]), sys.argv[3], big=big)
+        print(json.dumps({"sec": dt, "n": n, "phases": phases}))
         return
 
     os.makedirs(WORK, exist_ok=True)
@@ -278,8 +299,16 @@ def main() -> None:
         write_corpus(spark, generate_corpus(BENCH_CFG), corpus_dir)
         spark.stop()
 
-    log(f"[bench] wave loop at local[{CPUS}]")
-    w = _subprocess_measure(["--wave-worker", str(CPUS), corpus_dir])
+    # min-of-2 fresh-process passes (r3's single-pass record came in +71%
+    # under ambient load — the toy wave is barrier-heavy many-small-job
+    # work, exactly what a noisy box amplifies; min-of-2 matches every
+    # other measurement's discipline) + per-phase breakdown to the sidecar
+    # so the record is self-diagnosing
+    wave_passes = []
+    for i in range(2):
+        log(f"[bench] wave loop at local[{CPUS}] (pass {i + 1}/2)")
+        wave_passes.append(_subprocess_measure(["--wave-worker", str(CPUS), corpus_dir]))
+    w = min(wave_passes, key=lambda r: r["sec"])
     t_wave, n_wave = w["sec"], w["n"]
     queries["crawl_wave_loop"] = round(t_wave, 3)
 
@@ -333,6 +362,11 @@ def main() -> None:
         "wave_loop_urls": n_wave,
         "wave_loop_urls_per_sec": round(n_wave / t_wave, 1),
     }
+    # sidecar-only detail: both pass times + the winning pass's phase split
+    wave_detail = {
+        "pass_secs": [round(p["sec"], 3) for p in wave_passes],
+        "phases": w.get("phases", {}),
+    }
 
     if BIG_WAVE:
         big_dir = f"{WORK}/big_corpus_{BIG_CFG.n_urls}_{BIG_CFG.seed}"
@@ -350,28 +384,62 @@ def main() -> None:
         crawl["big_wave_urls"] = bw["n"]
         crawl["big_wave_urls_per_sec"] = round(bw["n"] / bw["sec"], 1)
         queries["crawl_big_wave"] = round(bw["sec"], 3)
+        wave_detail["big_wave_phases"] = bw.get("phases", {})
 
-    # Key order matters: the driver's stdout-tail capture truncated round
-    # 2's record from the FRONT (headline + q01-q12 lost). The big
-    # "queries" map goes FIRST and the headline metric/value/crawl summary
-    # LAST, so a tail capture always keeps the essentials; the complete
-    # record also lands in BENCH/last_run.json as a sidecar.
+    # Degraded-mode capability stamp (sidecar): which gated north-star
+    # components actually ran in this environment.
+    from warc_bench_spark.functions.codecs import pil_available, video_available
+    from warc_bench_spark.functions.textsim import cdifflib_available
+    from warc_bench_spark.iceberg import iceberg_enabled
+
+    capabilities = {
+        # env opt-in for the real-Iceberg store (needs the runtime jar on
+        # the classpath — see iceberg.iceberg_available(spark)); false means
+        # every table commit above ran on the snapshot-manifest store
+        "iceberg_enabled": iceberg_enabled(),
+        "pil_available": pil_available(),
+        "video_available": video_available(),
+        "cdifflib_available": cdifflib_available(),
+    }
+
+    # The stdout line must PARSE in the driver's 2000-char tail capture
+    # (r2 was front-truncated; r3's headline-keys-last tactic kept the data
+    # recoverable but `parsed` stayed null). Per-query keys are therefore
+    # shortened to their qNN prefix (the driver contract's own example
+    # shape: {"q1": sec}) and the JSON uses compact separators; the full
+    # names, wave phase splits, and capability stamp live in the
+    # BENCH/last_run.json sidecar.
+    def short(k: str) -> str:
+        return k.split("_", 1)[0] if k.startswith("q") else k
+
     out = {
-        "queries": {k: round(v, 2) for k, v in queries.items()},
+        "queries": {short(k): round(v, 2) for k, v in queries.items()},
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "crawl": crawl,
         "unit": "sec",
         "metric": "headline_total_sec",
         "value": round(rel_total + t_4n, 3),
     }
+    line = json.dumps(out, separators=(",", ":"))
     try:
         detail_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
         os.makedirs(detail_dir, exist_ok=True)
         with open(os.path.join(detail_dir, "last_run.json"), "w") as f:
-            json.dump({**out, "queries": queries}, f, indent=1, sort_keys=True)
+            json.dump(
+                {
+                    **out,
+                    "queries": queries,
+                    "wave_detail": wave_detail,
+                    "capabilities": capabilities,
+                    "stdout_line_chars": len(line),
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     except OSError:
         pass  # sidecar is best-effort; the stdout line is the contract
-    print(json.dumps(out))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -36,7 +36,8 @@ Scale notes (100 TB / 10^10-URL design point):
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+import time
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -57,6 +58,11 @@ class WaveStats:
     admitted: int
     new_urls: int
     frontier_left: int
+    # wall seconds per wave phase (keyed by the action that triggers the
+    # compute: Spark is lazy, so 'seen_write' includes the whole candidate
+    # pipeline + politeness schedule + admission that its write forces).
+    # Self-diagnosing bench records: BENCH/last_run.json carries the sums.
+    phases: dict[str, float] = field(default_factory=dict)
 
 
 class CrawlEngine:
@@ -168,6 +174,15 @@ class CrawlEngine:
 
     def _run_wave(self, wave: int, seq_start: int, frontier_count: int) -> WaveStats:
         spark, cfg = self.spark, self.cfg
+        phases: dict[str, float] = {}
+        _t0 = time.perf_counter()
+
+        def _mark(phase: str) -> None:
+            nonlocal _t0
+            now = time.perf_counter()
+            phases[phase] = phases.get(phase, 0.0) + (now - _t0)
+            _t0 = now
+
         frontier = self.store.read_table(spark, "frontier")
         seen = self.store.read_table(spark, "url_seen")
         if seen is None:  # wave 0: the bootstrap manifest lists no url_seen
@@ -268,10 +283,12 @@ class CrawlEngine:
                 "url_seen", seen_delta, wave + 1, mode="append"
             )
         n_admitted = int(obs_admitted.get["n"])
+        _mark("schedule_seen_write")  # candidate pipeline + politeness +
+        # admission + url_seen write — everything the first action forces
         if n_admitted == 0:
             admitted.unpersist()
             cand.unpersist()
-            return WaveStats(wave, 0, 0, 0)
+            return WaveStats(wave, 0, 0, 0, phases)
 
         # 4. fetch + expand: admitted is budget-bounded -> broadcast side
         fetched = F.broadcast(admitted.select("canonical_url", "priority")).join(
@@ -330,6 +347,7 @@ class CrawlEngine:
         )
         n_frontier = int(obs_frontier.get["n"])
         n_new = n_frontier - (frontier_count - n_admitted)
+        _mark("expand_frontier_write")
 
         if compacting:
             # periodic rewrite of the append tables as one compact version
@@ -345,6 +363,7 @@ class CrawlEngine:
             append_rels["crawl_log"] = self.store.write_table(
                 "crawl_log", log_delta, wave + 1, mode="append"
             )
+        _mark("log_write")
 
         # 6. metrics + per-partition lineage (X10 analog / north-star
         #    lineage). The histogram came out of the frontier write's
@@ -391,6 +410,7 @@ class CrawlEngine:
                 "frontier_count": n_frontier,
             },
         )
+        _mark("metrics_publish")
         if self.use_bloom:
             # OR this wave's seen delta into the persisted shard set; done
             # after the snapshot commit so a crash between the two leaves
@@ -400,7 +420,8 @@ class CrawlEngine:
             self.cuckoos.update(spark, cuckoo_payload, seen_delta, wave)
         admitted.unpersist()
         cand.unpersist()
-        return WaveStats(wave, n_admitted, max(n_new, 0), n_frontier)
+        _mark("filter_update")
+        return WaveStats(wave, n_admitted, max(n_new, 0), n_frontier, phases)
 
     # -------------------------------------------------------------------- run
 

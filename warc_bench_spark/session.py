@@ -76,6 +76,13 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # off-heap columnar vectors for the parquet scan — kernel A/B knob
+        # (candidate lever for the 8->32 DRAM/GC ceiling; accept/reject
+        # history in BENCH/BASELINE.md)
+        .config(
+            "spark.sql.columnVector.offheap.enabled",
+            os.environ.get("SPARK_GRAFT_OFFHEAP_CV", "false"),
+        )
     )
     if max_partition_bytes is not None:
         builder = builder.config(
