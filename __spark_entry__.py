@@ -50,9 +50,11 @@ import warc_bench_spark.plans.relational2  # noqa: E402,F401  (extends REGISTRY)
 # records the weaker rows-only check for these (window-contract item 3).
 ROWS_ONLY: dict[str, str] = {
     "q48_axtree_similarity": (
-        "difflib.SequenceMatcher.ratio (reference data_utils.py:75-100) is "
-        "not expressible in SQL; pinned against the pure-Python reference "
-        "implementation in tests/test_textsim.py"
+        "the LONG-string form: 50k-char middle-truncated difflib ratio, "
+        "where autojunk activates and a SQL re-derivation is intractable; "
+        "pinned against the pure-Python reference in tests/test_textsim.py."
+        " The bounded form IS value-hash-oracled as q63 (matching-blocks "
+        "recursion in SQL, <200 chars so autojunk never fires)"
     ),
 }
 

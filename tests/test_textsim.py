@@ -205,3 +205,57 @@ def test_winnowing_guarantee_shared_substring(spark):
         fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     assert fps[1] & fps[2], "shared passage must yield a shared fingerprint"
     assert not (fps[1] & fps[3])
+
+
+def test_q63_sql_oracle_matches_difflib_adversarial():
+    """The q63 oracle re-derives difflib's matching-blocks recursion in SQL;
+    pin it against stdlib difflib on adversarial short pairs (repetitive
+    alphabets maximize tie-break pressure; <200 chars so autojunk is off).
+    Runs entirely in DuckDB — no Spark session."""
+    import random
+
+    import duckdb
+
+    from warc_bench_spark.plans.relational import REGISTRY
+    import warc_bench_spark.plans.evalmetrics  # noqa: F401  (registers q63)
+
+    sql = REGISTRY["q63_seqmatch_ratio_exact"].sql
+    # swap the documents-table pairs CTE for an injected fixture table
+    head, tail = sql.split("FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1\n        WHERE a.doc_id < 100")
+    assert "pairs AS" in head
+
+    rng = random.Random(7)
+    rows = []
+    pid = 0
+    for _ in range(120):
+        la, lb = rng.randint(0, 40), rng.randint(0, 40)
+        rows.append((pid, "".join(rng.choice("ab") for _ in range(la)),
+                     "".join(rng.choice("ab") for _ in range(lb))))
+        pid += 1
+    rows += [(pid, "", ""), (pid + 1, "xyz", ""), (pid + 2, "", "xyz"),
+             (pid + 3, "same text", "same text")]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (doc_id BIGINT, text VARCHAR)")
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM fixture"
+    )
+    # encode pairs as consecutive doc_ids the query's own join reconstructs
+    docs = []
+    for i, (p, sa, sb) in enumerate(rows):
+        docs.append((2 * i, sa))
+        docs.append((2 * i + 1, sb))
+    con.executemany("INSERT INTO fixture VALUES (?, ?)", docs)
+    # the query joins doc_id+1 and filters doc_id < 100: use even ids < 100
+    got = dict(con.execute(sql).fetchall())
+    for i, (p, sa, sb) in enumerate(rows):
+        a_id = 2 * i
+        if a_id >= 100:
+            break
+        sa120, sb120 = sa[:120], sb[:120]
+        want = (
+            1.0
+            if not (sa120 or sb120)
+            else round(SequenceMatcher(None, sa120, sb120).ratio(), 6)
+        )
+        assert got[a_id] == pytest.approx(want, abs=1e-12), (a_id, sa, sb)

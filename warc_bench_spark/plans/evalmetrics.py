@@ -118,6 +118,119 @@ def q48(spark, sf_dir):
 
 
 @register(
+    "q63_seqmatch_ratio_exact",
+    r"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.doc_id AS pair_id,
+               substr(a.text, 1, 120) AS sa, substr(b.text, 1, 120) AS sb
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id < 100
+    ), pos_a AS (
+        SELECT pair_id, CAST(u.i AS BIGINT) AS i,
+               substr(sa, CAST(u.i AS INT), 1) AS ch
+        FROM pairs, unnest(range(1, CAST(length(sa) AS BIGINT) + 1)) AS u(i)
+    ), pos_b AS (
+        SELECT pair_id, CAST(u.j AS BIGINT) AS j,
+               substr(sb, CAST(u.j AS INT), 1) AS ch
+        FROM pairs, unnest(range(1, CAST(length(sb) AS BIGINT) + 1)) AS u(j)
+    ), m0 AS (
+        SELECT a.pair_id, a.i, b.j
+        FROM pos_a a JOIN pos_b b ON b.pair_id = a.pair_id AND b.ch = a.ch
+    ), isl AS (
+        SELECT pair_id, i, j,
+               i - row_number() OVER (PARTITION BY pair_id, j - i ORDER BY i) AS grp
+        FROM m0
+    ), matches AS (
+        -- k = forward run length of the common substring starting at (i,j)
+        SELECT pair_id, i, j,
+               max(i) OVER (PARTITION BY pair_id, j - i, grp) - i + 1 AS k
+        FROM isl
+    ), roles AS (
+        SELECT * FROM (VALUES ('blk'), ('lft'), ('rgt')) r(role)
+    ), step AS (
+        -- difflib.get_matching_blocks as interval recursion: each step
+        -- resolves every pending [alo,ahi)x[blo,bhi) interval to its
+        -- longest match (argmax packed as k*1e6 - i*1e3 - j, giving the
+        -- reference tie-break max k, then min i, then min j) and emits the
+        -- block row plus the left/right child intervals
+        SELECT pair_id, CAST(1 AS BIGINT) AS alo,
+               CAST(length(sa) AS BIGINT) + 1 AS ahi,
+               CAST(1 AS BIGINT) AS blo,
+               CAST(length(sb) AS BIGINT) + 1 AS bhi,
+               CAST(0 AS BIGINT) AS k
+        FROM pairs
+        UNION ALL
+        SELECT b.pair_id,
+               CASE r.role WHEN 'lft' THEN b.alo ELSE b.bi + b.bk END,
+               CASE r.role WHEN 'lft' THEN b.bi ELSE b.ahi END,
+               CASE r.role WHEN 'lft' THEN b.blo ELSE b.bj + b.bk END,
+               CASE r.role WHEN 'lft' THEN b.bj ELSE b.bhi END,
+               CASE r.role WHEN 'blk' THEN b.bk ELSE CAST(0 AS BIGINT) END
+        FROM (
+            SELECT pair_id, alo, ahi, blo, bhi,
+                   CAST(ceil(enc / 1000000.0) AS BIGINT) AS bk,
+                   (CAST(ceil(enc / 1000000.0) AS BIGINT) * 1000000 - enc)
+                       // 1000 AS bi,
+                   (CAST(ceil(enc / 1000000.0) AS BIGINT) * 1000000 - enc)
+                       % 1000 AS bj
+            FROM (
+                SELECT s.pair_id, s.alo, s.ahi, s.blo, s.bhi,
+                       (SELECT max(least(m.k, s.ahi - m.i, s.bhi - m.j)
+                                   * 1000000 - m.i * 1000 - m.j)
+                        FROM matches m
+                        WHERE m.pair_id = s.pair_id
+                          AND m.i >= s.alo AND m.i < s.ahi
+                          AND m.j >= s.blo AND m.j < s.bhi) AS enc
+                FROM step s WHERE s.k = 0
+            ) WHERE enc IS NOT NULL
+        ) b CROSS JOIN roles r
+        WHERE r.role = 'blk'
+           OR (r.role = 'lft' AND b.alo < b.bi AND b.blo < b.bj)
+           OR (r.role = 'rgt' AND b.bi + b.bk < b.ahi AND b.bj + b.bk < b.bhi)
+    ), msum AS (
+        SELECT pair_id, SUM(k) AS m FROM step GROUP BY pair_id
+    )
+    SELECT p.pair_id AS doc_a,
+           CASE WHEN length(p.sa) + length(p.sb) = 0 THEN 1.0
+                ELSE round(2.0 * COALESCE(s.m, 0)
+                           / (length(p.sa) + length(p.sb)), 6)
+           END AS ratio
+    FROM pairs p LEFT JOIN msum s USING (pair_id)
+    ORDER BY doc_a
+    """,
+)
+def q63(spark, sf_dir):
+    """M2 under the FULL value-hash oracle (the q62 quantization playbook
+    applied to difflib): SequenceMatcher.ratio over bounded 120-char
+    prefixes, where 2*M/(la+lb) is exact rational-in-double arithmetic on
+    both engines. The oracle re-derives difflib's matching blocks in SQL —
+    run lengths per diagonal via island windows, then get_matching_blocks'
+    interval recursion as a recursive CTE with the reference (max k, min i,
+    min j) tie-break (data_utils.py:75-100 semantics; strings < 200 chars
+    so difflib's autojunk never activates and stdlib == cdifflib == this
+    SQL). Validated against difflib on 700+ randomized/adversarial pairs
+    incl. empty strings. q48 keeps the long-string/keep_middle boundary as
+    the rows-only form."""
+    from ..functions.textsim import axtree_similarity_udf
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("s")
+    )
+    a = d.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")
+    )
+    b = d.select((F.col("doc_id") - 1).alias("doc_a"), F.col("s").alias("sb"))
+    return (
+        a.join(b, "doc_a")
+        .select(
+            "doc_a",
+            F.round(axtree_similarity_udf(F.col("sa"), F.col("sb")), 6).alias("ratio"),
+        )
+        .orderBy("doc_a")
+    )
+
+
+@register(
     "q49_tfidf_cosine_pairs",
     f"""
     WITH docs AS (
