@@ -232,13 +232,19 @@ class CrawlEngine:
             .filter(F.col("_pending") > cfg.hot_host_threshold)
             .select("host")
         )
+        # (A narrow-rank variant — ranking on (url_hash, host, priority)
+        # only and re-joining canonical_url onto the bounded admitted set —
+        # was A/B'd in round 4 and measured a TIE at the 10^6 scale: the
+        # narrower window exchange saves what the extra cache scan + join
+        # cost. Rejected to keep one admission path; BENCH/BASELINE.md.)
         sched = schedule_wave(
             cand, self.robots, cfg, force=self.force_rank, hot_hosts=hot_hosts
         )
 
         # 3. admission: top-budget of the total order; seq assignment.
-        #    budget is bounded, so this is TakeOrderedAndProject, not a full
-        #    sort; row_number over the bounded admitted set is cheap.
+        #    (top-k via sort+limit: below spark.sql.execution.
+        #    topKSortFallbackThreshold this is TakeOrderedAndProject; above,
+        #    a global sort + limit — both bounded by the budget on output.)
         #    The admitted COUNT rides as an Observation on the first snapshot
         #    write (no dedicated count() job); if the wave turns out empty,
         #    the already-written url_seen delta dir stays an unpublished

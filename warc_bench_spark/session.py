@@ -83,6 +83,13 @@ def get_spark(
             "spark.sql.columnVector.offheap.enabled",
             os.environ.get("SPARK_GRAFT_OFFHEAP_CV", "false"),
         )
+        # in-memory columnar cache compression for the persisted rank
+        # input — second kernel A/B knob (accept/reject history in
+        # BENCH/BASELINE.md)
+        .config(
+            "spark.sql.inMemoryColumnarStorage.compressed",
+            os.environ.get("SPARK_GRAFT_CACHE_COMPRESS", "true"),
+        )
     )
     if max_partition_bytes is not None:
         builder = builder.config(
