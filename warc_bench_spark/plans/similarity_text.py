@@ -754,3 +754,55 @@ def q60(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "q64_dedup_components",
+    f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SIG_SQL}),
+    ok AS (
+      SELECT mh1, mh2, mh3, mh4 FROM sig
+      GROUP BY mh1, mh2, mh3, mh4 HAVING COUNT(*) <= 64),
+    bounded AS (SELECT sig.* FROM sig JOIN ok USING (mh1, mh2, mh3, mh4)),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bounded a JOIN bounded b
+        ON a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.mh4 = b.mh4
+       AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM p
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM p),
+    verts AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      -- transitive closure to a fixpoint (UNION dedups, so the recursion
+      -- terminates); min reachable id == the min-label-propagation result
+      SELECT id AS a, id AS b FROM verts
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b)
+    SELECT a AS doc_id, MIN(b) AS component, a = MIN(b) AS is_canonical
+    FROM reach GROUP BY a ORDER BY doc_id
+    """,
+)
+def q64(spark, sf_dir):
+    """Dedup-cluster election — the step that turns candidate PAIRS into
+    duplicate CLUSTERS with one canonical survivor each (the at-scale
+    counterpart of goal_filtering.py's keep-first rule; min doc id per
+    component = keep-first under the corpus order). Edges are q24's capped
+    LSH band pairs; components via iterative min-label propagation
+    (operators/components.py — join+groupBy rounds, sum-monotone
+    convergence check); the oracle computes the identical fixpoint as a
+    recursive-CTE transitive closure."""
+    from ..operators.components import connected_components
+    from ..operators.similarity import banded_candidate_pairs
+
+    sig = _minhash_sig(spark, sf_dir)
+    pairs = banded_candidate_pairs(
+        sig, ["mh1", "mh2", "mh3", "mh4"], max_bucket_size=64
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    ).orderBy("doc_id")
