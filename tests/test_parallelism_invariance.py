@@ -77,3 +77,46 @@ def test_local2_equals_local8(spark, tmp_path):
 
     assert len(got8) > 100
     assert got2 == got8  # exact total order, parallelism-invariant
+
+
+QUERY_WORKER = r"""
+import sys, json
+sys.path.insert(0, sys.argv[1])
+import __spark_entry__ as e
+from warc_bench_spark.session import get_spark
+
+spark = get_spark("invariance-q2", cores=2, shuffle_partitions=2)
+spark.sparkContext.setLogLevel("ERROR")
+rows = [[None if v is None else str(v) for v in r]
+        for r in e.queries()[sys.argv[2]](spark, sys.argv[3]).collect()]
+print("RESULT:" + json.dumps(rows))
+"""
+
+
+def _query_rows_at_2(name, sf_dir):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", QUERY_WORKER, repo, name, sf_dir],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT:")][-1]
+    return json.loads(line[len("RESULT:"):])
+
+
+def test_grouped_and_iterative_queries_parallelism_invariant(spark):
+    """The riskiest operator shapes for partitioning-dependence — q53's
+    per-group applyInPandas greedy filter and q64's iterative min-label
+    propagation — must return identical rows at local[2] (fresh process,
+    2 shuffle partitions) and the in-session local[8]."""
+    import __spark_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"
+    for name in ("q53_tfidf_neardup_filter", "q64_dedup_components"):
+        rows8 = [
+            [None if v is None else str(v) for v in r]
+            for r in e.queries()[name](spark, sf_dir).collect()
+        ]
+        rows2 = _query_rows_at_2(name, sf_dir)
+        assert rows2 == rows8, name
