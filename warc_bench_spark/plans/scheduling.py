@@ -83,3 +83,47 @@ def q61(spark, sf_dir):
         .cast("long")
         .alias("attempts_used"),
     ).orderBy("task_id")
+
+
+@register(
+    "q65_asof_state_join",
+    """
+    WITH l AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'click'
+    ), r AS (
+        -- unique state row per (user, ts): the as-of contract
+        SELECT user_id, ts, MAX(value) AS state_val
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, l.value,
+           (SELECT r.state_val FROM r
+            WHERE r.user_id = l.user_id AND r.ts <= l.ts
+            ORDER BY r.ts DESC LIMIT 1) AS state_val
+    FROM l ORDER BY event_id
+    """,
+)
+def q65(spark, sf_dir):
+    """As-of join (operators/asof.py): every click event picks up the most
+    recent view-state value at-or-before its timestamp, per user — the
+    consult-latest-state-before-now pattern of frequency_limiter.py:24-47
+    lifted to one union + one per-key window pass (single exchange; the
+    oracle states the same semantics as a correlated latest-row lookup,
+    which is fine for DuckDB at oracle scale and would be the WRONG shape
+    at 100 TB)."""
+    from ..operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("state_val"))
+    )
+    joined = asof_join(clicks, views, on=["user_id"], ts="ts", state_cols=["state_val"])
+    return joined.select("event_id", "user_id", "value", "state_val").orderBy(
+        "event_id"
+    )
