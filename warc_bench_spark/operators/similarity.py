@@ -302,3 +302,66 @@ def banded_candidate_pairs(
     return a.join(b, cond).select(
         F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
     )
+
+
+def banded_star_edges(
+    sig: DataFrame,
+    band_cols: list[str],
+    id_col: str = "doc_id",
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Band-bucket STAR graph (doc ↔ its bucket's min id) as (doc_a, doc_b).
+
+    Every bucket the capped pair generator would emit is a clique, and a
+    clique has the same connected components as the star through any one
+    of its members — so clustering over these edges yields EXACTLY the
+    components of ``banded_candidate_pairs`` while emitting O(rows·bands)
+    edges instead of O(Σ bucket²) pairs. This is the 100-TB formulation
+    for the pairs→clusters step: the quadratic enumeration is only ever
+    needed when each pair must be VERIFIED individually (q60); clustering
+    alone never needs it. One window pass (count + min share the same
+    partition spec → one exchange), no self-join. Vertex set matches the
+    pair graph too: docs in buckets of size ≥ 2 (a size-1 bucket's doc is
+    its own min and drops out).
+    """
+    w = Window.partitionBy(*band_cols)
+    return (
+        sig.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .withColumn("_bmin", F.min(id_col).over(w))
+        .filter((F.col("_bn") <= max_bucket_size) & (F.col(id_col) != F.col("_bmin")))
+        .select(F.col(id_col).alias("doc_a"), F.col("_bmin").alias("doc_b"))
+        .distinct()
+    )
+
+
+def banded_bucket_seeds(
+    sig: DataFrame,
+    band_cols: list[str],
+    id_col: str = "doc_id",
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Per-doc label seed for connected-components over the band-join edges:
+    min(id) over each doc's band bucket, as (id, comp).
+
+    Every bucket the capped self-join emits edges for is a CLIQUE, so the
+    bucket minimum is already the component label unless buckets chain
+    through shared docs — seeding ``connected_components(init=...)`` with
+    this resolves most components before the first round and the loop
+    converges in one confirming iteration instead of 2-4 (2 fewer
+    localCheckpoint materializations per call). One window count + one
+    per-bucket min, same exchange key as the self-join itself. Must use the
+    SAME cap as the pair generator: min over an over-cap (dropped) bucket
+    could name a vertex the edge set never connects to.
+    """
+    return (
+        sig.withColumn(
+            "_bn", F.count(F.lit(1)).over(Window.partitionBy(*band_cols))
+        )
+        .filter(F.col("_bn") <= max_bucket_size)
+        .withColumn(
+            "comp", F.min(id_col).over(Window.partitionBy(*band_cols))
+        )
+        .select(F.col(id_col).alias("id"), "comp")
+        .groupBy("id")
+        .agg(F.min("comp").alias("comp"))
+    )

@@ -788,19 +788,25 @@ def q64(spark, sf_dir):
     """Dedup-cluster election — the step that turns candidate PAIRS into
     duplicate CLUSTERS with one canonical survivor each (the at-scale
     counterpart of goal_filtering.py's keep-first rule; min doc id per
-    component = keep-first under the corpus order). Edges are q24's capped
-    LSH band pairs; components via iterative min-label propagation
-    (operators/components.py — join+groupBy rounds, sum-monotone
-    convergence check); the oracle computes the identical fixpoint as a
-    recursive-CTE transitive closure."""
+    component = keep-first under the corpus order). The edge set is the
+    band-bucket STAR graph (banded_star_edges: doc ↔ bucket-min — same
+    components as q24's clique pairs with |E| linear, no self-join);
+    components via min-label propagation (operators/components.py —
+    join+groupBy rounds, sum-monotone convergence check), seeded with the
+    bucket minimum so the clique-shaped common case converges in one
+    confirming round. The oracle computes the identical fixpoint from the
+    PAIR graph as a recursive-CTE transitive closure — equality of the two
+    edge formulations is exactly the clique≡star components claim."""
     from ..operators.components import connected_components
-    from ..operators.similarity import banded_candidate_pairs
+    from ..operators.similarity import banded_star_edges
 
     sig = _minhash_sig(spark, sf_dir)
-    pairs = banded_candidate_pairs(
+    edges = banded_star_edges(
         sig, ["mh1", "mh2", "mh3", "mh4"], max_bucket_size=64
-    )
-    cc = connected_components(pairs, "doc_a", "doc_b")
+    ).persist()
+    seeds = edges.select(F.col("doc_a").alias("id"), F.col("doc_b").alias("comp"))
+    cc = connected_components(edges, "doc_a", "doc_b", init=seeds)
+    edges.unpersist()
     return cc.select(
         F.col("id").alias("doc_id"),
         F.col("comp").alias("component"),
