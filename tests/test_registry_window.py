@@ -69,6 +69,24 @@ def test_unverified_queries_sit_inside_driver_window():
     )
 
 
+def test_oracle_harness_is_derived_from_registry():
+    """Rotation moves queries OUT of the driver's window but must never
+    move them out of local verification: the oracle harness's parametrize
+    list has to be derived from the live registry (every oracled query,
+    including rotated-out ones), not a hand-maintained copy (VERDICT r4
+    item 5)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import test_oracle_local as harness
+
+    qs, osql, rows_only = _registry()
+    covered = set(harness.all_query_names())
+    assert covered == set(osql), (
+        "oracle harness list drifted from the registry: "
+        f"missing={set(osql) - covered} extra={covered - set(osql)}"
+    )
+    assert covered == set(qs) - set(rows_only)
+
+
 def test_rotated_out_queries_hold_green_records():
     qs, _osql, _ = _registry()
     names = list(qs)

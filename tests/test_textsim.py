@@ -50,6 +50,22 @@ def test_axtrees_differ_threshold():
     assert not axtrees_differ(long_a, long_b)
 
 
+def test_equal_string_shortcircuit_is_exact_under_autojunk():
+    """Pins the fast-path justification documented in textsim.py: equal
+    strings ratio to exactly 1.0 even when autojunk junks every character
+    (matches extend through adjacent equal junk; ties break to the
+    diagonal), so the a == b short-circuit changes nothing. The
+    near-identical control proves autojunk IS active on these inputs —
+    if either pin breaks on a future Python, revisit the docstring."""
+    for s in ["a" * 300, "ab" * 150, "aab" * 100, "a" * 199 + "b", "the " * 100]:
+        assert SequenceMatcher(None, s, s).ratio() == 1.0, s[:20]
+        assert axtree_similarity(s, s) == 1.0
+        assert not axtrees_differ(s, s)
+    # control: autojunk really does junk 'a' here — one changed char
+    # collapses the ratio to 0.0 instead of ~0.997
+    assert SequenceMatcher(None, "a" * 300, "b" + "a" * 299).ratio() == 0.0
+
+
 def test_cdifflib_backend_matches_stdlib():
     """Gated parity check for the C backend (reference's data_utils.py:14
     dependency): CSequenceMatcher must produce the identical ratio. Skips
@@ -219,10 +235,9 @@ def test_q63_sql_oracle_matches_difflib_adversarial():
     from warc_bench_spark.plans.relational import REGISTRY
     import warc_bench_spark.plans.evalmetrics  # noqa: F401  (registers q63)
 
+    # the unmodified oracle SQL runs against an injected `documents` view
+    # below (pairs are encoded as the consecutive doc_ids its join expects)
     sql = REGISTRY["q63_seqmatch_ratio_exact"].sql
-    # swap the documents-table pairs CTE for an injected fixture table
-    head, tail = sql.split("FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1\n        WHERE a.doc_id < 100")
-    assert "pairs AS" in head
 
     rng = random.Random(7)
     rows = []

@@ -18,10 +18,24 @@ Backend: when ``cdifflib`` is installed (the reference's own dependency —
 used; it computes the identical number ~10-40x faster. This sandbox ships
 only stdlib ``difflib``, so the probe (``cdifflib_available``, same gating
 pattern as ``codecs.pil_available``) falls back — the one honest O(n^2)
-pure-Python boundary in the package. Identical strings short-circuit to 1.0
-(SequenceMatcher(None, a, a).ratio() == 1.0 by definition: every char
-matches), which is the dominant case for a change-detector over crawl
-states that usually have NOT changed.
+pure-Python boundary in the package.
+
+Identical strings short-circuit to 1.0 — the dominant case for a
+change-detector over crawl states that usually have NOT changed. This is
+a pure FAST PATH, not a semantic change, but the reason is subtler than
+"equal strings trivially match": with default autojunk, characters
+occurring in >1% of a ≥200-char sequence are junked and excluded from
+``b2j``, so one might expect ``SequenceMatcher(None, a, a).ratio() < 1.0``
+for repetitive ``a`` (and indeed NEAR-identical repetitive pairs do
+collapse: ``'a'*300`` vs ``'b'+'a'*299`` -> 0.0). Equal strings survive
+because ``find_longest_match`` extends any match through ADJACENT EQUAL
+JUNK on both sides and size-ties resolve to the lowest (i, j) — the
+diagonal — so for ``a == b`` the recursion always covers the full string
+and the ratio is exactly 1.0, junk or not. Pinned empirically in
+``tests/test_textsim.py`` (structured adversarial cases + the
+near-identical pair where autojunk DOES bite, proving the junking is
+active); a 3000-case random fuzz over popularity-saturated alphabets
+found zero equal-string counterexamples.
 """
 
 from __future__ import annotations
@@ -66,7 +80,10 @@ def axtree_similarity(
     a = keep_middle(a or "", max_length)
     b = keep_middle(b or "", max_length)
     if a == b:
-        return 1.0  # exact short-circuit (ratio of equal strings is 1.0)
+        # fast path; equal strings ratio to exactly 1.0 even under
+        # autojunk (junk-extension + diagonal tie-break, see module
+        # docstring — NOT "by definition")
+        return 1.0
     return _Matcher(None, a, b).ratio()
 
 

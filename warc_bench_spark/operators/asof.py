@@ -23,6 +23,13 @@ helper raises nothing at runtime (a distributed uniqueness check would
 cost a shuffle); q65's plan dedups with an aggregate first and the test
 covers the tie rule.
 
+NULL state values: the fill carries the whole latest right ROW, not each
+column independently — state columns ride in one struct, and a struct
+literal is non-NULL even when every field is NULL, so a legitimately-NULL
+state value in the latest row is preserved instead of falling back to an
+older non-null one (which would silently diverge from "latest state
+at-or-before" and from q65's latest-row oracle).
+
 Scale notes: the window partitions by the join key, so a hot key
 serializes into one task — the same skew surface as any per-key window;
 the politeness two-phase-rank treatment (order-compatible range salting)
@@ -47,24 +54,37 @@ def asof_join(
 
     ``right`` must be unique per (``on``, ``ts``); state columns must not
     collide with left column names. Left rows with no preceding right row
-    keep NULL state (left-outer as-of semantics).
+    keep NULL state (left-outer as-of semantics). State values that are
+    NULL in the latest right row stay NULL (whole-row fill, see module
+    docstring).
     """
     overlap = set(state_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"state columns collide with left columns: {overlap}")
-    l_tagged = left.withColumn("_src", F.lit(1))
-    for c in state_cols:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r_tagged = right.select(*on, ts, *state_cols).withColumn("_src", F.lit(0))
+    for internal in ("_asof_src", "_asof_state"):
+        if internal in left.columns or internal in right.columns:
+            raise ValueError(f"reserved internal column name in input: {internal}")
+
+    state_struct = F.struct(*[F.col(c) for c in state_cols])
+    r_tagged = right.select(
+        *on, ts, state_struct.alias("_asof_state")
+    ).withColumn("_asof_src", F.lit(0))
+    l_tagged = left.withColumn(
+        "_asof_state",
+        F.lit(None).cast(r_tagged.schema["_asof_state"].dataType),
+    ).withColumn("_asof_src", F.lit(1))
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
-    # right (_src=0) before left (_src=1) at equal ts -> at-or-before
+    # right (_asof_src=0) before left (_asof_src=1) at equal ts -> at-or-before
     frame = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts).asc(), F.col("_src").asc())
+        .orderBy(F.col(ts).asc(), F.col("_asof_src").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned
+    filled = unioned.withColumn(
+        "_asof_state", F.last("_asof_state", ignorenulls=True).over(frame)
+    )
+    out = filled.filter(F.col("_asof_src") == 1)
     for c in state_cols:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(frame))
-    return filled.filter(F.col("_src") == 1).drop("_src")
+        out = out.withColumn(c, F.col(f"_asof_state.{c}"))
+    return out.drop("_asof_src", "_asof_state")
