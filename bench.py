@@ -37,6 +37,14 @@ Two parts:
    as an end-to-end throughput datum. Its per-wave fixed costs (snapshot
    commits, Bloom rebuild) dominate at toy scale, so it is reported but
    not used for the scaling claim.
+
+Noise defenses (this is a shared box; the r1/r3/r4 driver records were all
+ambient-load casualties): every headline measurement is min-of-k fresh
+processes (toy wave 2, big wave 2, kernel k passes x sweeps); a load
+probe (loadavg + single-core DRAM memcpy bandwidth — the kernel's actual
+bottleneck resource) is stamped into the sidecar before every
+measurement; and if the probe record shows a degraded window the kernel
+runs ONE extra ratio sweep (bounded, so the worst case adds ~5 min).
 """
 
 from __future__ import annotations
@@ -103,6 +111,45 @@ def log(msg: str) -> None:
     print(f"[{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
+def load_probe() -> dict:
+    """Ambient-contention probe, stamped into the sidecar before every
+    measurement so a noisy window is self-evident in the record (the r4
+    driver run was uniformly ~20-40% slow with no way to prove why).
+
+    Two signals:
+    * ``/proc/loadavg`` — context only: the 1m average decays slowly, so
+      right after one of our own multi-minute subprocess measurements it
+      mostly reflects OUR just-finished work, not co-tenants.
+    * single-core DRAM memcpy bandwidth — the decision signal. The kernel
+      is DRAM-bandwidth-bound (six measured levers on record), so
+      co-tenant memory pressure is exactly the noise that inflates a
+      sweep; a 64 MiB copy (far beyond LLC) measured min-of-3 reads the
+      bandwidth actually available right now, and our own process is idle
+      between subprocess measurements so the probe sees only outsiders.
+    """
+    time.sleep(2.0)  # settle: let the just-exited subprocess's pages/CPU drain
+    la = open("/proc/loadavg").read().split()
+    try:
+        import numpy as np
+
+        src = np.ones(64 * 1024 * 1024 // 8, dtype=np.float64)
+        dst = np.empty_like(src)
+        dst.fill(0.0)  # fault pages in before timing
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.copyto(dst, src)
+            best = min(best, time.perf_counter() - t0)
+        gbps = round((2 * src.nbytes / best) / 1e9, 2)
+    except Exception:
+        gbps = None
+    return {
+        "loadavg_1m": float(la[0]),
+        "loadavg_5m": float(la[1]),
+        "memcpy_gbps": gbps,
+    }
+
+
 def run_relational(results: dict) -> float:
     # same registration order as __spark_entry__.py (drives iteration order)
     import warc_bench_spark.plans.similarity_text  # noqa: F401  (extends REGISTRY)
@@ -125,8 +172,18 @@ def run_relational(results: dict) -> float:
         results[name] = round(dt, 3)
         total += dt
         log(f"  {name}: {dt:.2f}s")
+    # q48 is the one rows-only registry entry (long-string difflib, no SQL
+    # oracle): hash its values here, untimed, so the sidecar carries a
+    # round-over-round regression detector for it (VERDICT r4 item 6)
+    import hashlib
+
+    rows = sorted(
+        tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+        for r in REGISTRY["q48_axtree_similarity"].fn(spark, SF_DIR).collect()
+    )
+    q48_hash = hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
     spark.stop()
-    return total
+    return total, q48_hash
 
 
 def prepare_kernel_data() -> tuple[str, str, str]:
@@ -284,9 +341,11 @@ def main() -> None:
 
     os.makedirs(WORK, exist_ok=True)
     queries: dict[str, float] = {}
+    load_probe()  # first call pays numpy import + allocator warm-up
+    probes: dict[str, dict] = {"start": load_probe()}
 
     log(f"[bench] relational queries at {SF_DIR} on local[{CPUS}]")
-    rel_total = run_relational(queries)
+    rel_total, q48_hash = run_relational(queries)
 
     # --- crawl scaling: identical input, two parallelism levels -----------
     corpus_dir = f"{WORK}/corpus_{BENCH_CFG.n_urls}_{BENCH_CFG.seed}"
@@ -307,6 +366,7 @@ def main() -> None:
     wave_passes = []
     for i in range(2):
         log(f"[bench] wave loop at local[{CPUS}] (pass {i + 1}/2)")
+        probes[f"wave_pass_{i + 1}"] = load_probe()
         wave_passes.append(_subprocess_measure(["--wave-worker", str(CPUS), corpus_dir]))
     w = min(wave_passes, key=lambda r: r["sec"])
     t_wave, n_wave = w["sec"], w["n"]
@@ -321,27 +381,54 @@ def main() -> None:
     fdir, sdir, rdir = prepare_kernel_data()
     times: dict[int, float] = {}
     counts: dict[int, int] = {}
+    sweep_records: list[dict] = []
     levels = sorted({2, CPUS_SMALL, CPUS})
-    for sweep in range(KERNEL_SWEEPS):
-        for c in levels:
-            if sweep > 0 and c == CPUS and c not in (2, CPUS_SMALL):
-                continue  # the 16N level is context, not the ratio: sweep 1 only
-            # BOTH ratio levels (2 and N) run in every sweep: per-level
-            # minima across sweeps estimate each level's clean-box floor,
-            # and sampling only one side harder would bias the ratio
-            # (contention inflates a sample, so min-of-many converges
-            # downward for whichever level gets more draws). The 4N level
-            # gets 4 passes per process — its passes are ~4x cheaper, so
-            # equal WALL-TIME sampling, not equal draw counts, is the fair
-            # allocation. Observed identical-code spread: t8 16.2-18.7 s,
-            # t2 47.4-56.5 s across rounds (host-level noise, steal ~= 0).
+    ratio_levels = [c for c in levels if c in (2, CPUS_SMALL)]
+
+    def run_sweep(sweep_idx: int, sweep_levels: list[int]) -> None:
+        # BOTH ratio levels (2 and N) run in every sweep: per-level
+        # minima across sweeps estimate each level's clean-box floor,
+        # and sampling only one side harder would bias the ratio
+        # (contention inflates a sample, so min-of-many converges
+        # downward for whichever level gets more draws). The 4N level
+        # gets 4 passes per process — its passes are ~4x cheaper, so
+        # equal WALL-TIME sampling, not equal draw counts, is the fair
+        # allocation. Observed identical-code spread: t8 16.2-18.7 s,
+        # t2 47.4-56.5 s across rounds (host-level noise, steal ~= 0).
+        rec: dict[str, float] = {}
+        for c in sweep_levels:
             n_passes = 2 if c <= 2 else (4 if c == CPUS_SMALL else 3)
-            log(f"[bench] kernel sweep {sweep + 1} at local[{c}] ({n_passes} passes)")
+            log(f"[bench] kernel sweep {sweep_idx + 1} at local[{c}] ({n_passes} passes)")
+            probes[f"kernel_s{sweep_idx + 1}_c{c}"] = load_probe()
             r = _subprocess_measure(
                 ["--kernel-worker", str(c), fdir, sdir, rdir, str(n_passes)]
             )
             times[c] = min(times.get(c, float("inf")), r["sec"])
             counts[c] = r["n"]
+            rec[str(c)] = round(r["sec"], 3)
+        sweep_records.append(rec)
+
+    for sweep in range(KERNEL_SWEEPS):
+        # the 16N level is context, not the ratio: sweep 1 only
+        run_sweep(sweep, levels if sweep == 0 else ratio_levels)
+
+    # Bounded noise guard (VERDICT r4 item 1a): if the probe record shows a
+    # degraded window — co-tenant DRAM pressure varied >15% across kernel
+    # probes, or the RUN-START 1m loadavg (taken before any of our own
+    # work) shows ambient activity — run ONE extra ratio sweep so a bad
+    # window cannot own the per-level minima. The probes themselves are
+    # stamped in the sidecar either way, so the record self-adjudicates.
+    kernel_bw = [
+        p["memcpy_gbps"]
+        for k, p in probes.items()
+        if k.startswith("kernel_") and p.get("memcpy_gbps")
+    ]
+    degraded = (
+        len(kernel_bw) >= 2 and min(kernel_bw) < 0.85 * max(kernel_bw)
+    ) or probes["start"]["loadavg_1m"] > 4.0
+    if degraded and KERNEL_SWEEPS > 1:
+        log("[bench] degraded window in probe record — one extra ratio sweep")
+        run_sweep(KERNEL_SWEEPS, ratio_levels)
     assert len(set(counts.values())) == 1, "kernel is parallelism-variant!"
     t_2, t_n, t_4n = times[2], times[CPUS_SMALL], times[CPUS]
     queries["crawl_kernel_4n"] = round(t_4n, 3)
@@ -378,12 +465,23 @@ def main() -> None:
             spark.sparkContext.setLogLevel("ERROR")
             write_spark_corpus(spark, big_dir, BIG_CFG)
             spark.stop()
-        log(f"[bench] big wave loop at local[{CPUS}]")
-        bw = _subprocess_measure(["--wave-worker", str(CPUS), big_dir, "big"])
+        # min-of-2 fresh-process passes (VERDICT r4 item 2: the big wave was
+        # the last single-pass headline measurement — exactly the defect
+        # that produced the r3 toy-wave and r4 big-wave ambient-load
+        # records; JVM/Arrow/committer pre-warm runs inside run_crawl_at)
+        big_passes = []
+        for i in range(2):
+            log(f"[bench] big wave loop at local[{CPUS}] (pass {i + 1}/2)")
+            probes[f"big_wave_pass_{i + 1}"] = load_probe()
+            big_passes.append(
+                _subprocess_measure(["--wave-worker", str(CPUS), big_dir, "big"])
+            )
+        bw = min(big_passes, key=lambda r: r["sec"])
         crawl["big_wave_sec"] = round(bw["sec"], 3)
         crawl["big_wave_urls"] = bw["n"]
         crawl["big_wave_urls_per_sec"] = round(bw["n"] / bw["sec"], 1)
         queries["crawl_big_wave"] = round(bw["sec"], 3)
+        wave_detail["big_wave_pass_secs"] = [round(p["sec"], 3) for p in big_passes]
         wave_detail["big_wave_phases"] = bw.get("phases", {})
 
     # Degraded-mode capability stamp (sidecar): which gated north-star
@@ -395,7 +493,9 @@ def main() -> None:
     capabilities = {
         # env opt-in for the real-Iceberg store (needs the runtime jar on
         # the classpath — see iceberg.iceberg_available(spark)); false means
-        # every table commit above ran on the snapshot-manifest store
+        # every table commit above ran on the snapshot-manifest store.
+        # Vendoring attempt r5: no iceberg-spark-runtime jar anywhere on
+        # disk and no DNS (maven central unreachable) — the gate stands.
         "iceberg_enabled": iceberg_enabled(),
         "pil_available": pil_available(),
         "video_available": video_available(),
@@ -431,6 +531,9 @@ def main() -> None:
                     "queries": queries,
                     "wave_detail": wave_detail,
                     "capabilities": capabilities,
+                    "load_probes": probes,
+                    "kernel_sweep_secs": sweep_records,
+                    "q48_value_hash": q48_hash,
                     "stdout_line_chars": len(line),
                 },
                 f,

@@ -75,6 +75,13 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_GC_OPTS", ""),
         )
         .config("spark.ui.enabled", "false")
+        # shuffle/cache block codec — kernel A/B knob (zstd trades CPU for
+        # bytes, the t8-biased direction; accept/reject history in
+        # BENCH/BASELINE.md)
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # off-heap columnar vectors for the parquet scan — kernel A/B knob
         # (candidate lever for the 8->32 DRAM/GC ceiling; accept/reject
