@@ -92,3 +92,76 @@ def q56(spark, sf_dir):
     actions = ev.select("event_id", F.concat(F.lit("b"), e).alias("bid"))
     filled = fill_in_coordinates(actions, nodes, ["event_id"])
     return filled.select("event_id", "bid", "center_x", "center_y").orderBy("event_id")
+
+
+@register(
+    "q66_dom_predicate_rewards",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey % 5 AS INT) AS kind,
+           CAST(CASE CAST(o_orderkey % 5 AS INT)
+             WHEN 0 THEN CASE WHEN o_orderkey % 2 = 0 THEN 1.0 ELSE 0.0 END
+             WHEN 1 THEN CASE WHEN o_custkey % 3 = 0 THEN 1.0 ELSE 0.0 END
+             WHEN 2 THEN CASE WHEN o_custkey % 2 = 0 THEN 1.0 ELSE 0.0 END
+             WHEN 3 THEN CASE WHEN o_orderkey % 2 = 0 THEN 1.0 ELSE 0.0 END
+             ELSE CASE WHEN o_custkey % 5 = 0 THEN -1.0 ELSE 0.0 END
+           END AS DOUBLE) AS reward
+    FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey
+    """,
+)
+def q66(spark, sf_dir):
+    """U1 js_matcher's declarative subset under the value-hash gate
+    (evaluator.py:58-91 reward semantics via functions/dom_match.py): per
+    row, markup AND an evaluate-script are synthesized from order columns,
+    the Spark side must parse the markup, run the selector chain, and
+    apply the JS comparison; the oracle knows every reward by
+    construction. Five script kinds cycle: .value === (true/false by
+    parity), getElementById().checked, querySelectorAll().length,
+    classList.contains, and the failure modes (missing-node JS-throw ->
+    0.0; out-of-subset script -> NULL, surfaced as the -1.0 marker so the
+    boundary is value-checked too)."""
+    from ..functions.dom_match import dom_reward_udf
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    k = F.col("o_orderkey").cast("string")
+    vstr = ((F.col("o_orderkey") * 7) % 1000).cast("string")
+    o = o.withColumn("_nli", (F.col("o_orderkey") % 4 + 1).cast("int"))
+    cls = F.when(F.col("o_orderkey") % 2 == 0, "active").otherwise("idle")
+    markup = F.concat(
+        F.lit('<html><body><form><input id="f'), k,
+        F.lit('" value="'), vstr,
+        F.lit('"/><input id="c'), k, F.lit('" type="checkbox"'),
+        F.when(F.col("o_custkey") % 3 == 0, ' checked="true"').otherwise(""),
+        F.lit("/></form><ul>"),
+        F.expr("repeat('<li>x</li>', _nli)"),
+        F.lit('</ul><div id="panel" class="status '), cls,
+        F.lit('">state: '), cls, F.lit("</div></body></html>"),
+    )
+    kind = (F.col("o_orderkey") % 5).cast("int")
+    val_lit = F.when(
+        F.col("o_orderkey") % 2 == 0, vstr
+    ).otherwise(((F.col("o_orderkey") * 7) % 1000 + 1).cast("string"))
+    len_lit = F.when(
+        F.col("o_custkey") % 2 == 0, F.col("_nli")
+    ).otherwise(F.col("_nli") + 1).cast("string")
+    script = (
+        F.when(kind == 0, F.concat(
+            F.lit("document.querySelector('#f"), k,
+            F.lit("').value === '"), val_lit, F.lit("'")))
+        .when(kind == 1, F.concat(
+            F.lit("document.getElementById('c"), k, F.lit("').checked")))
+        .when(kind == 2, F.concat(
+            F.lit("document.querySelectorAll('ul > li').length === "), len_lit))
+        .when(kind == 3, F.lit(
+            "document.querySelector('#panel').classList.contains('active')"))
+        .otherwise(F.when(
+            F.col("o_custkey") % 5 == 0, F.lit("window.scrollY === 0")
+        ).otherwise(F.lit("document.querySelector('#missing').value === 'x'")))
+    )
+    return o.select(
+        "o_orderkey",
+        kind.alias("kind"),
+        F.coalesce(
+            dom_reward_udf(markup, script), F.lit(-1.0)
+        ).alias("reward"),
+    ).orderBy("o_orderkey")
