@@ -216,7 +216,11 @@ def run_kernel_at(
     """One schedule+dedup pass: canonicalize → hash → anti-join → politeness."""
     from pyspark.sql import DataFrame, functions as F
 
-    from warc_bench_spark.functions.urls import canonicalize_with_host_udf, url_hash_col
+    from warc_bench_spark.functions.urls import (
+        canonicalize_udf,
+        host_from_canonical_col,
+        url_hash_col,
+    )
     from warc_bench_spark.operators.dedup import not_seen_exact
     from warc_bench_spark.operators.politeness import schedule_wave
 
@@ -234,10 +238,12 @@ def run_kernel_at(
 
     def one_pass(front: DataFrame) -> tuple[float, int]:
         t0 = time.perf_counter()
+        # single-string UDF + JVM host derivation (r5: halves the Arrow
+        # return traffic; t8 -8%, t2 neutral — urls.py docstring)
         cand = (
-            front.select(canonicalize_with_host_udf("url").alias("_ch"), "priority")
-            .select("_ch.canonical_url", "_ch.host", "priority")
+            front.select(canonicalize_udf("url").alias("canonical_url"), "priority")
             .filter(F.col("canonical_url").isNotNull())
+            .withColumn("host", host_from_canonical_col(F.col("canonical_url")))
             .withColumn("url_hash", url_hash_col(F.col("canonical_url")))
             .select("url_hash", "canonical_url", "host", "priority")
         )
@@ -274,7 +280,7 @@ def run_crawl_at(
 ) -> tuple[float, int, dict]:
     from pyspark.sql import functions as F
 
-    from warc_bench_spark.functions.urls import canonicalize_with_host_udf
+    from warc_bench_spark.functions.urls import canonicalize_udf
     from warc_bench_spark.operators.crawl import CrawlEngine
 
     cfg = BIG_CFG if big else BENCH_CFG
@@ -293,7 +299,7 @@ def run_crawl_at(
     warm = spark.createDataFrame(
         [(f"https://warm{i}.example.com/a?x={i}",) for i in range(64)], "url string"
     )
-    warm.select(canonicalize_with_host_udf("url")).collect()
+    warm.select(canonicalize_udf("url")).collect()
     spark.range(0, 1024).groupBy(F.col("id") % 8).count().collect()
     spark.range(0, 128).write.mode("overwrite").parquet(f"{state}_warm")
     shutil.rmtree(f"{state}_warm", ignore_errors=True)

@@ -112,6 +112,50 @@ def test_spark_udf_matches_python(spark):
         assert row["h"] == sha256_hex(expected)
 
 
+def test_jvm_host_matches_canonical_host(spark):
+    """The r5 hot-path host derivation (JVM substring_index, urls.py
+    host_from_canonical_col) must be byte-identical to canonical_host()
+    — the simulator's host definition — on every canonical URL shape,
+    including ports, single-label hosts, deep paths, and percent-encoded
+    placeholders; and to the struct-UDF reference implementation."""
+    from pyspark.sql import functions as F
+    from warc_bench_spark.functions.urls import (
+        canonical_host,
+        canonicalize_udf,
+        canonicalize_with_host_udf,
+        host_from_canonical_col,
+    )
+
+    canonicals = [
+        "https://a.example.com/p?q=1",
+        "https://h.com:8080/",
+        "https://x.y/",
+        "http://up.example.com/a/b/c?x=%7Br%7D",
+        "https://single/",
+        "https://sub.deep.example.co.uk:444/a?b=c&d=e",
+    ]
+    df = spark.createDataFrame([(u,) for u in canonicals], "canonical_url string")
+    rows = df.withColumn(
+        "host", host_from_canonical_col(F.col("canonical_url"))
+    ).collect()
+    for r in rows:
+        assert r["host"] == canonical_host(r["canonical_url"]), r
+    # and the full pipeline parity: raw -> canonicalize -> JVM host equals
+    # the struct-UDF (python .str.split) reference on raw inputs
+    raws = [r for r, _ in CASES]
+    raw_df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    both = (
+        raw_df.withColumn("c", canonicalize_udf("raw"))
+        .filter(F.col("c").isNotNull())
+        .withColumn("jvm_host", host_from_canonical_col(F.col("c")))
+        .withColumn("_ch", canonicalize_with_host_udf("raw"))
+        .collect()
+    )
+    for r in both:
+        assert r["c"] == r["_ch"]["canonical_url"]
+        assert r["jvm_host"] == r["_ch"]["host"], r
+
+
 def test_fast_path_equivalence():
     """Property: the fast-path canonicalizer is bit-identical to the full
     path on every URL shape the corpus generator and frontier_gen emit,

@@ -259,6 +259,22 @@ def canonical_host(canonical_url: str) -> str:
     return canonical_url.split("/", 3)[2]
 
 
+def host_from_canonical_col(canonical: Column) -> Column:
+    """Politeness host (netloc, port preserved) of a canonical URL — pure
+    JVM column expression: third '/'-separated field via two
+    ``substring_index`` passes, byte-identical to ``canonical_host`` /
+    the simulator's ``split('/', 3)[2]`` (property-tested in
+    tests/test_urls.py). THE hot-path host derivation since round 5: the
+    canonicalize UDF returns one string column and the host is derived
+    JVM-side, instead of shipping a (canonical_url, host) struct back
+    from Python — that halves the UDF's Arrow return traffic and replaces
+    a per-element pandas ``.str.split`` loop with JVM string ops.
+    Measured on the 8M kernel (ABBA-interleaved sweeps): t8 17.24 →
+    15.79 s (−8%), t2 neutral — the memory-traffic-biased win the
+    DRAM-ceiling program was looking for (BENCH/BASELINE.md)."""
+    return F.substring_index(F.substring_index(canonical, "/", 3), "/", -1)
+
+
 @pandas_udf(
     StructType(
         [
@@ -268,12 +284,12 @@ def canonical_host(canonical_url: str) -> str:
     )
 )
 def canonicalize_with_host_udf(urls: pd.Series) -> pd.DataFrame:
-    """Canonical URL + politeness host in one Arrow batch.
+    """Canonical URL + politeness host in one Arrow batch (struct return).
 
-    One UDF instead of (canonicalize UDF + JVM ``parse_url``): the host
-    falls out of the canonical string for free, and both columns cross the
-    Arrow boundary in a single struct — the hot-path identity derivation of
-    the crawl kernel.
+    Superseded in the hot path by ``canonicalize_udf`` +
+    ``host_from_canonical_col`` (round 5, see there) — kept as the
+    reference implementation both hosts derivations are property-tested
+    against, and for callers that want the one-call form.
     """
     canon = canonicalize_series(urls)
     # netloc = third '/'-field of the canonical URL (== canonical_host),

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
-from ..functions.urls import canonicalize_with_host_udf, url_hash_col
+from ..functions.urls import canonicalize_udf, host_from_canonical_col, url_hash_col
 from ..state import make_store
 from .dedup import BloomStore, not_seen_bloom, not_seen_exact
 from .extract import extract_outlinks
@@ -100,16 +100,19 @@ class CrawlEngine:
     def _with_url_identity(self, df: DataFrame, url_col: str) -> DataFrame:
         """raw url column -> canonical_url, url_hash, host (C1+C2+C3).
 
-        Host comes out of the canonicalize UDF itself (one Arrow pass), and
-        is defined as the canonical URL's netloc — port preserved — exactly
-        as the simulator derives it (``urls.canonical_host``). ``parse_url
-        ('HOST')`` would strip ports and diverge.
+        The canonicalize UDF returns ONE string column over Arrow; host is
+        derived JVM-side (``host_from_canonical_col`` — netloc, port
+        preserved, exactly the simulator's ``canonical_host``; ``parse_url
+        ('HOST')`` would strip ports and diverge). Deriving host in the
+        JVM instead of the UDF struct halves the Arrow return traffic —
+        the r5 kernel t8 win (see urls.py docstring / BENCH/BASELINE.md).
         """
         keep = [c for c in df.columns if c != url_col]
         return (
-            df.withColumn("_ch", canonicalize_with_host_udf(F.col(url_col)))
-            .select(*keep, "_ch.canonical_url", "_ch.host")
+            df.withColumn("canonical_url", canonicalize_udf(F.col(url_col)))
+            .select(*keep, "canonical_url")
             .filter(F.col("canonical_url").isNotNull())
+            .withColumn("host", host_from_canonical_col(F.col("canonical_url")))
             .withColumn("url_hash", url_hash_col(F.col("canonical_url")))
         )
 
