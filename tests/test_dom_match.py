@@ -35,6 +35,10 @@ MARKUP = """
     </div>
     <ul id="cart"><li>a</li><li>b</li><li>c</li></ul>
     <p class="note">The total is 50000 dollars</p>
+    <div id="column"><div data-portlet-type="reminders" class="portlet selected">r</div><div data-portlet-type="kpimeter" class="portlet selected">k</div><div data-portlet-type="news" class="portlet">n</div></div>
+    <input id="slider" value="0" min="0" max="100"/>
+    <details id="opened" open="true"><p>body</p></details>
+    <div id="mixed">alpha<span>beta</span>gamma</div>
   </div>
 </body></html>
 """
@@ -97,6 +101,37 @@ CASES = [
     ("""document.querySelector('a[href$="/nope"]') != null""", 0.0),
     # toLowerCase transform
     ("document.querySelector('#dropdown > div:nth-child(1)').textContent.toLowerCase() === 'first'", 1.0),
+    # .children[i] indexing + .children.length (dashboard-column corpus shape)
+    ("document.querySelector('#column').children.length == 3", 1.0),
+    ("document.querySelector('#column').children.length === 2", 0.0),
+    ("""document.querySelector('div[id="column"]').children[1].getAttribute('data-portlet-type')=='kpimeter'""", 1.0),
+    ("""document.querySelector('div[id="column"]').children[0].getAttribute('data-portlet-type')=='kpimeter'""", 0.0),
+    # out-of-range index: JS undefined -> property access throws -> 0.0
+    ("document.querySelector('#column').children[9].getAttribute('data-portlet-type')=='x'", 0.0),
+    # Array.from(...)[i] element pick (employeeList corpus shape), incl. the
+    # bare-index truthiness conjunct
+    ("Array.from(document.getElementById('column').children)[1] && Array.from(document.getElementById('column').children)[1].classList.contains('selected')", 1.0),
+    ("Array.from(document.getElementById('column').children)[2].classList.contains('selected')", 0.0),
+    ("Array.from(document.getElementById('column').children)[9] && Array.from(document.getElementById('column').children)[9].classList.contains('selected')", 0.0),
+    # querySelectorAll(sel)[i] direct indexing (nah-status-filter shape)
+    ("""document.querySelectorAll('#column > div')[0].getAttribute('data-portlet-type')=="reminders\"""", 1.0),
+    # Array.from(list).slice(a,b).every(v => atom) sweeps (row-checkbox shape)
+    ("Array.from(document.querySelectorAll('#column .portlet')).slice(0,2).every(item => item.classList.contains('selected'))", 1.0),
+    ("Array.from(document.querySelectorAll('#column .portlet')).slice(0,3).every(item => item.classList.contains('selected'))", 0.0),
+    ("Array.from(document.querySelectorAll('input.row-checkbox')).slice(0,3).every(checkbox => checkbox.checked === true)", 1.0),  # vacuous truth, JS every([]) semantics
+    # target-vs-target comparison via .min/.max (slider corpus shape)
+    ("document.querySelector('#slider').value ==document.querySelector('#slider').min", 1.0),
+    ("document.querySelector('#slider').value ==document.querySelector('#slider').max", 0.0),
+    # .open boolean attribute (details corpus shape)
+    ("document.querySelector('#opened').open", 1.0),
+    ("document.querySelector('#cart').open", 0.0),
+    # loose == between string actual and bool literal: JS ToNumber coercion
+    # ('1' == true is true, '' == false is true, 'x' == false is false)
+    ("document.querySelector('#former').getAttribute('type') == true", 0.0),
+    ("document.querySelector('#slider').value == false", 1.0),  # '0' == false
+    # mixed content: textContent is TRUE document order (abc, never acb)
+    ("document.querySelector('#mixed').textContent === 'alphabetagamma'", 1.0),
+    ("document.querySelector('#mixed').textContent === 'alphagammabeta'", 0.0),
 ]
 
 
@@ -113,6 +148,14 @@ def test_unsupported_scripts_raise_not_zero():
         "document.querySelector('#a').dispatchEvent(new Event('click'))",
         "document.title === 'Home'",
         "document.querySelector('#a').value.length > 3",
+        # '!' binds tighter than '===' in JS: supporting '!cmp' as !(cmp)
+        # would silently diverge, so it is an explicit boundary
+        "!document.querySelector('#a').value === 'x'",
+        "!document.querySelector('#a').textContent.includes('y')",
+        # dynamic layout state never serialized into markup
+        "document.querySelector('#a').scrollTop > 0",
+        # .slice without .every has no declarative meaning here
+        "Array.from(document.querySelectorAll('li')).slice(0,2)",
     ]:
         assert not condition_supported(script)
         with pytest.raises(UnsupportedScript):
@@ -130,9 +173,11 @@ def test_selector_parse_shapes():
 
 def test_corpus_parse_coverage():
     """Gated evidence run: when the reference corpus is present, the
-    declarative parser must cover >= 95% of the real js_matcher scripts
-    (measured 96.2% when this was written; the remainder is genuinely
-    procedural — Array.from slices, shadowRoot, .children[i], getHTML)."""
+    declarative parser must cover >= 97% of the real js_matcher scripts
+    (measured 97.6% after the r6 .children[i]/Array.from/every/min-max
+    lifts; the remainder is genuinely procedural or browser-coupled —
+    scrollTop/getBoundingClientRect, shadowRoot, innerHTML/getHTML
+    serialization, generator Array.from, and malformed-JS scripts)."""
     import json
     import os
 
@@ -158,7 +203,7 @@ def test_corpus_parse_coverage():
     walk(data)
     assert len(scripts) > 1000
     ok = sum(condition_supported(s) for s in scripts)
-    assert ok / len(scripts) >= 0.95, f"coverage {ok}/{len(scripts)}"
+    assert ok / len(scripts) >= 0.97, f"coverage {ok}/{len(scripts)}"
 
 
 def test_dom_matcher_udf(spark):

@@ -41,6 +41,11 @@ class Node:
     attrs: dict[str, str]
     texts: list[str] = field(default_factory=list)
     ancestor_ids: list[int] = field(default_factory=list)
+    # global document-order index of each segment in ``texts`` — mixed
+    # content like <div>a<span>b</span>c</div> stores 'a','c' on the div
+    # AFTER the span exists, so node-local order alone cannot reconstruct
+    # DOM textContent order ('abc' not 'acb'); sort on these instead.
+    text_seqs: list[int] = field(default_factory=list)
 
     @property
     def text(self) -> str:
@@ -57,10 +62,13 @@ def parse_markup(markup: str) -> list[Node]:
     nodes: list[Node] = []
     stack: list[Node] = []
     pos = 0
+    seq = 0
     for m in _TOKEN_RE.finditer(markup or ""):
         text = markup[pos : m.start()]
         if text.strip() and stack:
             stack[-1].texts.append(text)
+            stack[-1].text_seqs.append(seq)
+            seq += 1
         pos = m.end()
         closing, tag, attr_str, self_close = m.groups()
         tag = tag.lower()
@@ -86,6 +94,7 @@ def parse_markup(markup: str) -> list[Node]:
         tail = markup[pos:]
         if tail.strip():
             stack[-1].texts.append(tail)
+            stack[-1].text_seqs.append(seq)
     return nodes
 
 
