@@ -1,0 +1,96 @@
+"""Exact substring-span dedup (operators/spans.py) — planted-duplicate tests.
+
+The operator's contract (Lee et al. 2022 ExactSubstr semantics, distributed
+as seed-and-extend): one row per MAXIMAL shared token run per document
+pair, exact by construction (hash seeds + slice-equality verify). These
+tests plant known shared runs and assert byte-precise recovery — offsets,
+lengths, maximality, the stop-gram cap, and the min-length floor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from warc_bench_spark.operators.spans import duplicate_spans
+
+
+def _docs(spark, texts: dict[int, str]):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in sorted(texts.items())]
+    )
+
+
+def _run(spark, texts, **kw):
+    rows = duplicate_spans(_docs(spark, texts), "doc_id", "text", **kw).collect()
+    return sorted(
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.len_tokens) for r in rows
+    )
+
+
+def words(prefix: str, n: int) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_planted_run_exact_offsets(spark):
+    # doc 1 carries tokens s0..s11 at offset 3; doc 2 carries them at 0
+    shared = words("s", 12)
+    texts = {
+        1: words("a", 3) + " " + shared + " " + words("b", 4),
+        2: shared + " " + words("c", 5),
+    }
+    got = _run(spark, texts, k=4, min_tokens=8)
+    assert got == [(1, 2, 3, 0, 12)]
+
+
+def test_run_is_maximal_not_fragmented(spark):
+    # a 20-token shared run must come back as ONE span, not per-seed grams
+    shared = words("s", 20)
+    texts = {1: shared + " " + words("x", 6), 2: words("y", 2) + " " + shared}
+    got = _run(spark, texts, k=5, min_tokens=8)
+    assert got == [(1, 2, 0, 2, 20)]
+
+
+def test_two_disjoint_runs_two_rows(spark):
+    r1, r2 = words("p", 9), words("q", 10)
+    texts = {
+        1: r1 + " " + words("x", 5) + " " + r2,
+        2: r2 + " " + words("z", 7) + " " + r1,
+    }
+    got = _run(spark, texts, k=4, min_tokens=8)
+    assert got == [(1, 2, 0, 17, 9), (1, 2, 14, 0, 10)]
+
+
+def test_below_min_tokens_dropped(spark):
+    shared = words("s", 7)
+    texts = {1: shared + " " + words("x", 5), 2: shared + " " + words("y", 5)}
+    assert _run(spark, texts, k=4, min_tokens=8) == []
+    # same corpus, lower floor: now reported
+    assert _run(spark, texts, k=4, min_tokens=7) == [(1, 2, 0, 0, 7)]
+
+
+def test_self_overlap_within_one_doc_not_reported(spark):
+    # duplicate run INSIDE one document (doc_a < doc_b excludes self-pairs)
+    rep = words("r", 10)
+    texts = {1: rep + " " + words("m", 4) + " " + rep, 2: words("u", 12)}
+    assert _run(spark, texts, k=4, min_tokens=8) == []
+
+
+def test_stop_gram_cap_drops_boilerplate(spark):
+    # the same 12-token boilerplate in 6 docs: with cap=4 no pair survives;
+    # with cap=8 all 15 pairs do — both sides of the cap exercised
+    shared = words("s", 12)
+    texts = {i: words(f"u{i}_", 3) + " " + shared for i in range(1, 7)}
+    assert _run(spark, texts, k=4, min_tokens=8, max_docs_per_gram=4) == []
+    got = _run(spark, texts, k=4, min_tokens=8, max_docs_per_gram=8)
+    assert len(got) == 15 and all(g[4] == 12 for g in got)
+
+
+def test_three_docs_pairwise_spans(spark):
+    shared = words("s", 10)
+    texts = {
+        1: shared + " " + words("a", 3),
+        2: words("b", 2) + " " + shared,
+        3: words("c", 4) + " " + shared + " " + words("d", 2),
+    }
+    got = _run(spark, texts, k=4, min_tokens=8)
+    assert got == [(1, 2, 0, 2, 10), (1, 3, 0, 4, 10), (2, 3, 2, 4, 10)]

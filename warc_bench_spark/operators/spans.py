@@ -1,0 +1,134 @@
+"""Exact substring-span dedup: maximal cross-document duplicate token runs.
+
+The one dedup tier the repo's family (exact-doc q09, MinHash/SimHash/
+winnowing near-dup, embedding ANN) did not cover: *substring-level* exact
+duplication — the production tier of Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better" (ExactSubstr), which finds
+verbatim runs shared across documents so they can be excised rather than
+dropping whole near-dup docs.
+
+The published method is a monolithic suffix array; the Spark-first
+re-expression is seed-and-extend over k-gram matches, which distributes:
+
+1. **Gram table** — every token position emits the ``xxhash64`` of its
+   k-token gram (one JVM ``transform``/``slice`` pass over the split
+   array; no Python).
+2. **Stop-gram cap** (the q24/q62 discipline) — grams present in more
+   than ``max_docs_per_gram`` distinct docs are boilerplate with
+   unbounded pair fan-out at 10^10 rows; they carry no discriminative
+   signal and are dropped (both here and in the q67 oracle, so the gate
+   sees identical semantics).
+3. **Seed pairs** — equi-join of the surviving gram table with itself on
+   the gram hash (never all-pairs; fan-out per gram is <= cap^2).
+4. **Diagonal islands** — a run of tokens shared between doc A and doc B
+   lies on one diagonal ``pa - pb``; within a shared run, EVERY gram
+   start position matches, so maximal runs are exactly the maximal
+   consecutive-position islands per (doc_a, doc_b, diagonal): one window
+   (lag + running sum) and one aggregate. Gaps smaller than k between
+   seeds on a diagonal are impossible for exact matches (the bridging
+   gram would also match), so step-of-1 islanding loses nothing.
+5. **Exact verify** — spans join back to the token arrays and the actual
+   slices must be equal. 64-bit hash collisions are ~2^-64 per pair, but
+   this makes the operator *exact by construction*: a collision-bridged
+   span fails verification and is dropped (never emitted wrong).
+
+Caveat shared with the reference method: removing capped grams can split
+a true run that crosses a boilerplate region — the same trade ExactSubstr
+makes with its frequency cutoff.
+
+Scale shape: the only corpus-sized shuffles are the gram groupBy (partial
+aggregation applies) and the seed equi-join on the hash; islands/verify
+operate on the seed set, which the cap bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_tokens: int = 8,
+    max_docs_per_gram: int = 16,
+) -> DataFrame:
+    """Maximal exact duplicate token runs across documents.
+
+    Returns (doc_a, doc_b, a_start, b_start, len_tokens) with
+    doc_a < doc_b, 0-based token offsets, and len_tokens >= min_tokens;
+    one row per maximal shared run per document pair.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
+    ).filter(F.size("toks") >= k)
+
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {k}),"
+                f" i -> xxhash64(concat_ws(' ', slice(toks, i + 1, {k}))))"
+            )
+        ).alias("pos", "g"),
+    )
+
+    # stop-gram cap: 2 <= distinct docs <= cap (1-doc grams can never seed
+    # a cross-doc pair; > cap is boilerplate with quadratic fan-out)
+    keep = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter((F.col("_nd") >= 2) & (F.col("_nd") <= max_docs_per_gram))
+        .select("g")
+    )
+    bounded = grams.join(keep, "g")
+
+    a = bounded.select(
+        F.col("g"), F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
+    )
+    b = bounded.select(
+        F.col("g"), F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    seeds = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = seeds.withColumn(
+        "_brk", F.when(F.col("pa") - F.lag("pa").over(w) == 1, 0).otherwise(1)
+    ).withColumn(
+        "_run",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = (
+        runs.groupBy("doc_a", "doc_b", "diag", "_run")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            (F.max("pa") + F.lit(k) - F.min("pa")).alias("len_tokens"),
+        )
+        .filter(F.col("len_tokens") >= min_tokens)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("a_start").cast("long").alias("a_start"),
+            F.col("b_start").cast("long").alias("b_start"),
+            F.col("len_tokens").cast("long").alias("len_tokens"),
+        )
+    )
+
+    # exact verify: the claimed slices must be byte-equal token-for-token.
+    # spans is cap-bounded and tiny next to the corpus — broadcast it into
+    # both token lookups so no corpus shuffle happens here.
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("_ta"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("_tb"))
+    with_a = ta.join(F.broadcast(spans), "doc_a")  # corpus side streams
+    verified = tb.join(F.broadcast(with_a), "doc_b").filter(
+        F.expr("slice(_ta, a_start + 1, len_tokens)")
+        == F.expr("slice(_tb, b_start + 1, len_tokens)")
+    )
+    return verified.select("doc_a", "doc_b", "a_start", "b_start", "len_tokens")

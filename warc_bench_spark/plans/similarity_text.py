@@ -812,3 +812,71 @@ def q64(spark, sf_dir):
         F.col("comp").alias("component"),
         (F.col("id") == F.col("comp")).alias("is_canonical"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2022 ExactSubstr, seed-and-extend)
+# ---------------------------------------------------------------------------
+
+SPAN_K = 6
+SPAN_MIN_TOKENS = 8
+SPAN_GRAM_CAP = 16
+
+
+@register(
+    "q67_duplicate_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - {SPAN_K} + 1)) AS i, t
+      FROM toks WHERE len(t) >= {SPAN_K}),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(t[i:i+{SPAN_K - 1}], ' ') AS gram FROM g),
+    keep AS (
+      SELECT gram FROM (
+        SELECT gram, count(distinct doc_id) AS nd FROM grams GROUP BY gram)
+      WHERE nd BETWEEN 2 AND {SPAN_GRAM_CAP}),
+    seeds AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM grams a JOIN grams b USING (gram) JOIN keep USING (gram)
+      WHERE a.doc_id < b.doc_id),
+    isl AS (
+      SELECT *, CASE WHEN pa - lag(pa) OVER w = 1 THEN 0 ELSE 1 END AS brk
+      FROM seeds WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY pa)),
+    runs AS (
+      SELECT *, sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM isl)
+    SELECT doc_a, doc_b,
+           CAST(min(pa) AS BIGINT) AS a_start,
+           CAST(min(pb) AS BIGINT) AS b_start,
+           CAST(max(pa) + {SPAN_K} - min(pa) AS BIGINT) AS len_tokens
+    FROM runs GROUP BY doc_a, doc_b, diag, run_id
+    HAVING max(pa) + {SPAN_K} - min(pa) >= {SPAN_MIN_TOKENS}
+    ORDER BY doc_a, doc_b, a_start, b_start
+    """,
+)
+def q67(spark, sf_dir):
+    """Exact substring-span dedup — maximal cross-document duplicate token
+    runs (the missing tier between exact-doc q09 and near-dup q60/q64;
+    Lee et al. 2022 ExactSubstr semantics, seed-and-extend formulation).
+    The oracle re-derives the identical spans from the gram STRINGS with
+    the same stop-cap and diagonal-island windows, so the green row proves
+    both the hashing prefilter (collision-free here by the exact-verify
+    join) and the island/extension algebra. Scale notes in
+    operators/spans.py — no all-pairs anywhere; seed fan-out is bounded by
+    the gram cap."""
+    from ..operators.spans import duplicate_spans
+
+    d = t(spark, sf_dir, "documents")
+    return duplicate_spans(
+        d,
+        "doc_id",
+        "text",
+        k=SPAN_K,
+        min_tokens=SPAN_MIN_TOKENS,
+        max_docs_per_gram=SPAN_GRAM_CAP,
+    ).orderBy("doc_a", "doc_b", "a_start", "b_start")
