@@ -31,10 +31,26 @@ older non-null one (which would silently diverge from "latest state
 at-or-before" and from q65's latest-row oracle).
 
 Scale notes: the window partitions by the join key, so a hot key
-serializes into one task — the same skew surface as any per-key window;
-the politeness two-phase-rank treatment (order-compatible range salting)
-applies if a key is hot enough to matter. State columns travel through
-one exchange only.
+serializes into one task — the same skew surface as any per-key window.
+The remedy is IMPLEMENTED here (not just documented): pass ``hot_keys``
+(+ ``salt_interval``) and hot keys are range-split on TIME — the
+order-compatible salting of the politeness two-phase rank
+(``politeness.py:56-90``), transposed from rank-offsets to state
+carry-in:
+
+* every row gets ``_salt = floor(ts / salt_interval)`` (cold keys get one
+  degenerate bucket, so routing is a single pass with no branch);
+* the per-(key, bucket) LATEST right state is a tiny aggregate (one row
+  per key x bucket), and a window over that tiny table yields each
+  bucket's carry-in = latest right state from all EARLIER buckets;
+* carry-in rows are unioned back as synthetic right rows that sort before
+  everything in their bucket, so the fill window can partition by
+  (key, bucket) — a hot key's timeline now parallelizes across buckets
+  while every left row still sees the exact at-or-before state.
+
+Equality with the unsalted plan for ANY salt assignment is the invariant
+(``tests/test_asof.py`` pins it on a 50%-hot-key corpus at local[2] and
+local[8]).
 """
 
 from __future__ import annotations
@@ -49,6 +65,8 @@ def asof_join(
     on: list[str],
     ts: str,
     state_cols: list[str],
+    hot_keys: DataFrame | None = None,
+    salt_interval: int | None = None,
 ) -> DataFrame:
     """Left rows + latest right ``state_cols`` at-or-before ``ts`` per ``on``.
 
@@ -57,11 +75,19 @@ def asof_join(
     keep NULL state (left-outer as-of semantics). State values that are
     NULL in the latest right row stay NULL (whole-row fill, see module
     docstring).
+
+    Skew remedy (module docstring): pass ``hot_keys`` (a DataFrame of the
+    ``on`` columns, from a CHEAP already-materialized source — the
+    ``rank_in_host`` caveat applies) plus ``salt_interval`` (a time-range
+    width in ``ts`` units) to range-split hot keys' windows across time
+    buckets. Results are identical to the unsalted plan for any interval.
+    Passing ``salt_interval`` with ``hot_keys=None`` splits EVERY key (the
+    all-hot case).
     """
     overlap = set(state_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"state columns collide with left columns: {overlap}")
-    for internal in ("_asof_src", "_asof_state"):
+    for internal in ("_asof_src", "_asof_state", "_asof_salt"):
         if internal in left.columns or internal in right.columns:
             raise ValueError(f"reserved internal column name in input: {internal}")
 
@@ -69,16 +95,67 @@ def asof_join(
     r_tagged = right.select(
         *on, ts, state_struct.alias("_asof_state")
     ).withColumn("_asof_src", F.lit(0))
+    state_type = r_tagged.schema["_asof_state"].dataType
     l_tagged = left.withColumn(
-        "_asof_state",
-        F.lit(None).cast(r_tagged.schema["_asof_state"].dataType),
+        "_asof_state", F.lit(None).cast(state_type)
     ).withColumn("_asof_src", F.lit(1))
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
+    if salt_interval is not None:
+        bucket = F.floor(F.col(ts).cast("long") / F.lit(salt_interval))
+        if hot_keys is None:
+            salted = unioned.withColumn("_asof_salt", bucket)
+        else:
+            # single-pass routing, no branch: cold keys collapse to one
+            # degenerate bucket (== the plain per-key window)
+            flag = F.broadcast(
+                hot_keys.select(*on).distinct().withColumn("_hot", F.lit(True))
+            )
+            salted = (
+                unioned.join(flag, on, "left")
+                .withColumn(
+                    "_asof_salt",
+                    F.when(F.col("_hot").isNotNull(), bucket).otherwise(F.lit(0)),
+                )
+                .drop("_hot")
+            )
+        # tiny per-(key, bucket) table: latest right state inside the bucket
+        # (right unique per (key, ts) -> max_by on ts is well-defined), and
+        # EVERY occupied bucket (left or right rows) so no carry-in is lost
+        per_bucket = salted.groupBy(*on, "_asof_salt").agg(
+            F.max_by(
+                "_asof_state", F.when(F.col("_asof_src") == 0, F.col(ts))
+            ).alias("_latest")
+        )
+        w_carry = (
+            Window.partitionBy(*on)
+            .orderBy("_asof_salt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            per_bucket.withColumn(
+                "_asof_state", F.last("_latest", ignorenulls=True).over(w_carry)
+            )
+            .filter(F.col("_asof_state").isNotNull())
+            # synthetic right row at the head of its bucket: NULL ts sorts
+            # first under asc_nulls_first, src=-1 beats real rows at any tie
+            .select(
+                *on,
+                F.lit(None).cast(salted.schema[ts].dataType).alias(ts),
+                "_asof_state",
+                F.lit(-1).alias("_asof_src"),
+                "_asof_salt",
+            )
+        )
+        unioned = salted.unionByName(carry, allowMissingColumns=True)
+        part_cols: list = [*on, "_asof_salt"]
+    else:
+        part_cols = list(on)
+
     # right (_asof_src=0) before left (_asof_src=1) at equal ts -> at-or-before
     frame = (
-        Window.partitionBy(*on)
-        .orderBy(F.col(ts).asc(), F.col("_asof_src").asc())
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col(ts).asc_nulls_first(), F.col("_asof_src").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.withColumn(
@@ -87,4 +164,4 @@ def asof_join(
     out = filled.filter(F.col("_asof_src") == 1)
     for c in state_cols:
         out = out.withColumn(c, F.col(f"_asof_state.{c}"))
-    return out.drop("_asof_src", "_asof_state")
+    return out.drop("_asof_src", "_asof_state", "_asof_salt")
