@@ -880,3 +880,80 @@ def q67(spark, sf_dir):
         min_tokens=SPAN_MIN_TOKENS,
         max_docs_per_gram=SPAN_GRAM_CAP,
     ).orderBy("doc_a", "doc_b", "a_start", "b_start")
+
+
+# ---------------------------------------------------------------------------
+# Trained char-bigram Naive Bayes language ID (the q29 heuristic upgraded
+# to a real model; operators/langid.py)
+# ---------------------------------------------------------------------------
+
+from ..operators.langid import LANGS as _NB_LANGS  # noqa: E402
+from ..operators.langid import N_SLOTS as _NB_SLOTS  # noqa: E402
+from ..operators.langid import PROFILES as _NB_PROFILES  # noqa: E402
+
+_NB_CHARS = 120
+_NB_TEST_MOD = 7  # held-out fold: coprime with len(LANGS) so every
+#                   language appears in BOTH splits
+
+_NB_LANG_LIST = "[" + ", ".join(f"'{l}'" for l in _NB_LANGS) + "]"
+_NB_PROF_VALUES = ", ".join(f"('{l}', '{_NB_PROFILES[l]}')" for l in _NB_LANGS)
+
+_Q68_SQL = f"""
+    WITH profiles(lang, prof) AS (VALUES {_NB_PROF_VALUES}),
+    corpus AS (
+      SELECT d.doc_id,
+             p.lang,
+             array_to_string(list_transform(generate_series(0, {_NB_CHARS - 1}),
+               i -> substr(p.prof,
+                 CAST((d.doc_id * 131 + i * 7919 + i * i) % {_NB_SLOTS} AS INT) + 1,
+                 1)), '') AS text
+      FROM documents d
+      JOIN profiles p
+        ON p.lang = ({_NB_LANG_LIST})[CAST(d.doc_id % {len(_NB_LANGS)} AS INT) + 1]),
+    grams AS (
+      SELECT doc_id, lang, substr(text, j, 2) AS gram
+      FROM corpus, unnest(generate_series(1, length(text) - 1)) AS u(j)),
+    counts AS (
+      SELECT lang, gram, count(*) AS c FROM grams
+      WHERE doc_id % {_NB_TEST_MOD} <> 0 GROUP BY 1, 2),
+    vocab AS (SELECT DISTINCT gram FROM counts),
+    totals AS (SELECT lang, sum(c) AS tot FROM counts GROUP BY 1),
+    model AS (
+      SELECT t.lang, v.gram,
+             ln((coalesce(c.c, 0) + 1.0)
+                / (t.tot + (SELECT count(*) FROM vocab))) AS logp
+      FROM totals t CROSS JOIN vocab v
+      LEFT JOIN counts c ON c.lang = t.lang AND c.gram = v.gram),
+    scored AS (
+      SELECT g.doc_id, g.lang AS true_lang, m.lang AS cand_lang,
+             sum(m.logp) AS score
+      FROM grams g JOIN model m ON m.gram = g.gram
+      WHERE g.doc_id % {_NB_TEST_MOD} = 0
+      GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) AS rk
+      FROM scored)
+    SELECT doc_id, true_lang, cand_lang AS pred_lang,
+           (cand_lang = true_lang) AS is_correct
+    FROM ranked WHERE rk = 1 ORDER BY doc_id
+    """
+
+
+@register("q68_langid_nb", _Q68_SQL)
+def q68(spark, sf_dir):
+    """Language ID as a TRAINED model (multinomial Naive Bayes over char
+    bigrams) rather than the q29 heuristic — train and predict are both
+    pure DataFrame algebra (operators/langid.py), the model is a
+    broadcastable langs x vocab table, and the labeled corpus is
+    synthesized by-construction from doc_id arithmetic so DuckDB
+    re-derives the identical train/test splits and the oracle value-checks
+    the whole train->predict pipeline. Output columns are all
+    integral/categorical; the double-valued NB scores only feed the
+    per-doc argmax, whose margins (hundreds of nats by profile
+    construction) dwarf cross-engine float-summation noise."""
+    from ..operators.langid import synth_labeled_corpus, train_predict_langid
+
+    d = t(spark, sf_dir, "documents")
+    corpus = synth_labeled_corpus(d, "doc_id", n_chars=_NB_CHARS)
+    return train_predict_langid(corpus, n=2, test_mod=_NB_TEST_MOD).orderBy("doc_id")
