@@ -83,6 +83,13 @@ BENCH_CFG = CrawlConfig(
 KERNEL_URLS = int(os.environ.get("SPARK_GRAFT_KERNEL_URLS", "8000000"))
 KERNEL_SWEEPS = int(os.environ.get("SPARK_GRAFT_KERNEL_SWEEPS", "3"))
 
+# Lever knob (BENCH/BASELINE.md ledger): carry url_hash through the
+# kernel's exchanges as 32-byte BINARY (unhex of the sha256 hex) instead
+# of the 64-char string — a pure re-encode, not a truncation: unsigned
+# byte order == lowercase-hex order, so dedup/rank/salt semantics are
+# untouched while every shuffled/cached row sheds ~32 B of key.
+BINARY_HASH = os.environ.get("SPARK_GRAFT_BINARY_HASH", "0") == "1"
+
 # amortized-scale wave loop (default ON; SPARK_GRAFT_BIG_WAVE=0 disables):
 # Spark-generated 10^6-URL corpus, budgets big enough that per-wave
 # constants vanish — the end-to-end throughput number of record
@@ -269,16 +276,22 @@ def run_kernel_at(
     frontier = spark.read.parquet(fdir)
     seen = spark.read.parquet(sdir)
     robots = spark.read.parquet(rdir)
+    if BINARY_HASH:
+        # re-encode BOTH join sides at the scan; one unhex per row is
+        # whole-stage-codegen arithmetic, repaid by ~32 B/row less key in
+        # every exchange/sort/cache downstream
+        seen = seen.withColumn("url_hash", F.unhex("url_hash"))
 
     def one_pass(front: DataFrame) -> tuple[float, int]:
         t0 = time.perf_counter()
         # single-string UDF + JVM host derivation (r5: halves the Arrow
         # return traffic; t8 -8%, t2 neutral — urls.py docstring)
+        key = url_hash_col(F.col("canonical_url"))
         cand = (
             front.select(canonicalize_udf("url").alias("canonical_url"), "priority")
             .filter(F.col("canonical_url").isNotNull())
             .withColumn("host", host_from_canonical_col(F.col("canonical_url")))
-            .withColumn("url_hash", url_hash_col(F.col("canonical_url")))
+            .withColumn("url_hash", F.unhex(key) if BINARY_HASH else key)
             .select("url_hash", "canonical_url", "host", "priority")
         )
         # the skew-aware rank consumes its input three times (hot-host

@@ -44,8 +44,23 @@ HOST_ORDER = ["priority", "url_hash"]  # per-host total order (url_hash unique)
 
 
 def _salt_col() -> Column:
-    # first hex nibble of the sha256 — an order-compatible range split
+    # leading slice of the sha256 — an order-compatible range split. The
+    # same expression serves both key encodings: on the hex STRING it is
+    # the first nibble (16-way); on the re-encoded BINARY key
+    # (bench.py's SPARK_GRAFT_BINARY_HASH kernel variant) it is the first
+    # byte (256-way) — substring operates on either type, and unsigned
+    # byte order == lowercase-hex order, so the split stays range-sorted.
     return F.substring("url_hash", 1, 1)
+
+
+def _cold_salt(df: DataFrame) -> Column:
+    """Type-matched degenerate-bucket literal for cold hosts (a WHEN's
+    branches must agree: binary keys need a binary salt literal)."""
+    from pyspark.sql.types import BinaryType
+
+    if isinstance(df.schema["url_hash"].dataType, BinaryType):
+        return F.lit(bytes(1))
+    return F.lit("0")
 
 
 def rank_in_host_plain(df: DataFrame) -> DataFrame:
@@ -125,7 +140,7 @@ def rank_in_host(
         )
     flag = F.broadcast(hot_hosts.select("host").withColumn("_hot", F.lit(True)))
     salted = df.join(flag, "host", "left").withColumn(
-        "_salt", F.when(F.col("_hot").isNotNull(), _salt_col()).otherwise(F.lit("0"))
+        "_salt", F.when(F.col("_hot").isNotNull(), _salt_col()).otherwise(_cold_salt(df))
     )
     return _rank_two_phase(salted.drop("_hot"))
 
