@@ -83,12 +83,17 @@ BENCH_CFG = CrawlConfig(
 KERNEL_URLS = int(os.environ.get("SPARK_GRAFT_KERNEL_URLS", "8000000"))
 KERNEL_SWEEPS = int(os.environ.get("SPARK_GRAFT_KERNEL_SWEEPS", "3"))
 
-# Lever knob (BENCH/BASELINE.md ledger): carry url_hash through the
-# kernel's exchanges as 32-byte BINARY (unhex of the sha256 hex) instead
-# of the 64-char string — a pure re-encode, not a truncation: unsigned
-# byte order == lowercase-hex order, so dedup/rank/salt semantics are
-# untouched while every shuffled/cached row sheds ~32 B of key.
-BINARY_HASH = os.environ.get("SPARK_GRAFT_BINARY_HASH", "0") == "1"
+# Lever, ACCEPTED r6 (BENCH/BASELINE.md ledger): carry url_hash through
+# the kernel's exchanges as 32-byte BINARY (unhex of the sha256 hex)
+# instead of the 64-char string — a pure re-encode, not a truncation:
+# unsigned byte order == lowercase-hex order, so dedup/rank/salt
+# semantics are untouched (tests/test_binary_key.py) while every
+# shuffled/sorted/cached row sheds ~32 B of key. r6 ABBA-interleaved
+# probed A/B (3 sweeps + a 2-sweep partial, all draws probe-stamped):
+# binary won 7/8 paired comparisons — t2 min 54.66 vs 63.01 (-13%),
+# t8 min 16.43 vs 17.38 (-5.5%). The t2 outsize win is spill relief
+# (the 2-core sort spills; narrower rows spill less).
+BINARY_HASH = os.environ.get("SPARK_GRAFT_BINARY_HASH", "1") == "1"
 
 # amortized-scale wave loop (default ON; SPARK_GRAFT_BIG_WAVE=0 disables):
 # Spark-generated 10^6-URL corpus, budgets big enough that per-wave

@@ -116,7 +116,13 @@ def train_predict_langid(
     grams = _grams(corpus, n)
     train = grams.filter(F.col("doc_id") % test_mod != 0)
 
-    counts = train.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    # counts is langs x vocab rows (bounded by the alphabet, not the
+    # corpus) but its LINEAGE is the full train-gram explode+shuffle;
+    # it feeds three branches (vocab, totals, the model join), and a
+    # branched uncached DataFrame re-executes its upstream per branch —
+    # persist so the corpus-sized stage runs exactly once. The v_size
+    # count() below doubles as the materialization action.
+    counts = train.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c")).persist()
     vocab = counts.select("gram").distinct()
     totals = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
     v_size = vocab.count()  # bounded by alphabet^n, not corpus size
