@@ -144,8 +144,13 @@ def train_predict_langid(
     test = grams.filter(F.col("doc_id") % test_mod == 0).select(
         "doc_id", F.col("lang").alias("true_lang"), "gram"
     )
-    # inner join: grams never seen in ANY language are constant offsets
-    # across languages (same smoothing floor) and cannot move the argmax
+    # inner join: a test gram absent from the train vocab ENTIRELY matches
+    # no model row and is dropped — strictly, full NB would charge each
+    # language its own floor log(1/(tot+V)), which differs across langs by
+    # log(tot_a/tot_b). Here doc_id % 5 balances the folds, so the tots are
+    # equal up to one doc's grams (|floor gap| < 1e-3 nats/gram) against
+    # hundreds-of-nats argmax margins — and the q68 oracle SQL mirrors this
+    # same inner join, so both engines drop identically
     scored = (
         test.join(F.broadcast(model.withColumnRenamed("lang", "cand_lang")), "gram")
         .groupBy("doc_id", "true_lang", "cand_lang")
