@@ -94,3 +94,73 @@ def test_three_docs_pairwise_spans(spark):
     }
     got = _run(spark, texts, k=4, min_tokens=8)
     assert got == [(1, 2, 0, 2, 10), (1, 3, 0, 4, 10), (2, 3, 2, 4, 10)]
+
+
+# ---------------------------------------------------------------------------
+# excise_spans — the dedup ACTION (keep-first removal of duplicate runs)
+# ---------------------------------------------------------------------------
+
+from warc_bench_spark.operators.spans import excise_spans
+
+
+def _excise(spark, texts, **kw):
+    docs = _docs(spark, texts)
+    spans = duplicate_spans(docs, "doc_id", "text", **kw)
+    rows = excise_spans(docs, spans, "doc_id", "text").collect()
+    return {r.doc_id: (r.clean_text, r.n_removed) for r in rows}
+
+
+def test_excise_keeps_first_removes_second(spark):
+    shared = words("s", 12)
+    texts = {
+        1: words("a", 3) + " " + shared,
+        2: shared + " " + words("c", 5),
+    }
+    got = _excise(spark, texts, k=4, min_tokens=8)
+    # doc 1 (lowest id) keeps its copy verbatim; doc 2 loses exactly the run
+    assert got[1] == (texts[1], 0)
+    assert got[2] == (words("c", 5), 12)
+
+
+def test_excise_three_way_share_single_survivor(spark):
+    shared = words("s", 10)
+    texts = {
+        1: shared + " " + words("a", 3),
+        2: words("b", 2) + " " + shared,
+        3: words("c", 4) + " " + shared + " " + words("d", 2),
+    }
+    got = _excise(spark, texts, k=4, min_tokens=8)
+    assert got[1] == (texts[1], 0)
+    assert got[2] == (words("b", 2), 10)
+    assert got[3] == (words("c", 4) + " " + words("d", 2), 10)
+
+
+def test_excise_overlapping_cuts_count_once(spark):
+    # doc 3 holds s0..s11; doc 1 shares s0..s7, doc 2 shares s4..s11 —
+    # the two cut ranges overlap on s4..s7, and the union must excise
+    # exactly 12 tokens (the 1-2 overlap s4..s7 is below min_tokens and
+    # cuts nothing there)
+    s = [f"s{i}" for i in range(12)]
+    texts = {
+        1: " ".join(s[:8]) + " " + words("x", 4),
+        2: " ".join(s[4:]) + " " + words("y", 4),
+        3: " ".join(s) + " " + words("z", 3),
+    }
+    got = _excise(spark, texts, k=4, min_tokens=8)
+    assert got[1] == (texts[1], 0)
+    assert got[2] == (texts[2], 0)
+    assert got[3] == (words("z", 3), 12)
+
+
+def test_excise_entirely_duplicate_doc_empties(spark):
+    shared = words("s", 9)
+    texts = {1: shared + " " + words("a", 2), 2: shared}
+    got = _excise(spark, texts, k=4, min_tokens=8)
+    assert got[1] == (texts[1], 0)
+    assert got[2] == ("", 9)
+
+
+def test_excise_untouched_docs_pass_through(spark):
+    texts = {1: words("a", 10), 2: words("b", 10), 3: "x"}
+    got = _excise(spark, texts, k=4, min_tokens=8)
+    assert got == {1: (texts[1], 0), 2: (texts[2], 0), 3: ("x", 0)}

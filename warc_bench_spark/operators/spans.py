@@ -132,3 +132,51 @@ def duplicate_spans(
         == F.expr("slice(_tb, b_start + 1, len_tokens)")
     )
     return verified.select("doc_a", "doc_b", "a_start", "b_start", "len_tokens")
+
+
+def excise_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every duplicate run from the LATER document (keep-first).
+
+    The dedup *action* of Lee et al. 2022 ExactSubstr: ``duplicate_spans``
+    finds the shared runs; this excises each run from ``doc_b`` of every
+    pair (``doc_a < doc_b``, so the lowest doc id keeps its copy — for an
+    n-way shared run the pairwise spans cut it from every doc except the
+    smallest, exactly the keep-first rule of q53/q64). Returns
+    ``(doc_id, clean_text, n_removed)`` for EVERY input document;
+    ``clean_text`` is the surviving token stream rejoined with single
+    spaces (docs with no cuts are rejoined identically, so the output is
+    canonical-whitespace for all rows), ``n_removed`` the excised token
+    count.
+
+    Scale shape: the cut list is the cap-bounded span set grouped per
+    doc_b (a tiny aggregate) broadcast-joined onto the corpus; the
+    per-token coverage test is one JVM ``filter``/``exists`` lambda over
+    the split array — no shuffle of the corpus, no Python.
+    """
+    cuts = spans.groupBy(F.col("doc_b").alias(id_col)).agg(
+        F.collect_list(F.struct("b_start", "len_tokens")).alias("_cuts")
+    )
+    out = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)).join(
+        F.broadcast(cuts), "doc_id", "left"
+    )
+    # _cuts IS NULL OR ... : TRUE OR NULL = TRUE, so uncut docs keep every
+    # token without evaluating exists over a NULL array. Spark's filter
+    # lambda index is 0-based, matching the 0-based span offsets.
+    kept = F.expr(
+        f"filter(split({text_col}, ' '), (t, i) -> _cuts IS NULL OR NOT exists("
+        "_cuts, c -> i >= c.b_start AND i < c.b_start + c.len_tokens))"
+    )
+    return out.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), " ")).alias("_n0"),
+        kept.alias("_kept"),
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.col("_kept")).alias("clean_text"),
+        (F.col("_n0") - F.size("_kept")).cast("long").alias("n_removed"),
+    )

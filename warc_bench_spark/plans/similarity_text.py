@@ -957,3 +957,89 @@ def q68(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     corpus = synth_labeled_corpus(d, "doc_id", n_chars=_NB_CHARS)
     return train_predict_langid(corpus, n=2, test_mod=_NB_TEST_MOD).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Span excision — the ExactSubstr dedup ACTION (q67 finds the duplicate
+# runs; this removes them from the later document, keep-first)
+# ---------------------------------------------------------------------------
+
+_Q69_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {SPAN_K}),
+    g AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - {SPAN_K} + 1)) AS i, t
+      FROM toks),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(t[i:i+{SPAN_K - 1}], ' ') AS gram FROM g),
+    keep AS (
+      SELECT gram FROM (
+        SELECT gram, count(distinct doc_id) AS nd FROM grams GROUP BY gram)
+      WHERE nd BETWEEN 2 AND {SPAN_GRAM_CAP}),
+    seeds AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM grams a JOIN grams b USING (gram) JOIN keep USING (gram)
+      WHERE a.doc_id < b.doc_id),
+    isl AS (
+      SELECT *, CASE WHEN pa - lag(pa) OVER w = 1 THEN 0 ELSE 1 END AS brk
+      FROM seeds WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY pa)),
+    runs AS (
+      SELECT *, sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM isl),
+    spans AS (
+      SELECT doc_b, min(pb) AS b_start,
+             max(pa) + {SPAN_K} - min(pa) AS len_tokens
+      FROM runs GROUP BY doc_a, doc_b, diag, run_id
+      HAVING max(pa) + {SPAN_K} - min(pa) >= {SPAN_MIN_TOKENS}),
+    allt AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM allt),
+    cut AS (
+      SELECT DISTINCT p.doc_id, p.i
+      FROM pos p JOIN spans s ON s.doc_b = p.doc_id
+       AND p.i - 1 >= s.b_start AND p.i - 1 < s.b_start + s.len_tokens),
+    kept AS (
+      SELECT p.doc_id, p.i, p.t[p.i] AS tok
+      FROM pos p LEFT JOIN cut c ON c.doc_id = p.doc_id AND c.i = p.i
+      WHERE c.i IS NULL)
+    SELECT a.doc_id AS doc_id,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS clean_text,
+           CAST(len(a.t) - count(k.i) AS BIGINT) AS n_removed
+    FROM allt a LEFT JOIN kept k ON k.doc_id = a.doc_id
+    GROUP BY a.doc_id, len(a.t)
+    ORDER BY a.doc_id
+    """
+
+
+@register("q69_excise_spans", _Q69_SQL)
+def q69(spark, sf_dir):
+    """Span excision — turns q67's duplicate-run REPORT into the dedup
+    ACTION (Lee et al. 2022 ExactSubstr: remove every shared run from all
+    but one occurrence). Pairwise spans carry doc_a < doc_b, so cutting
+    each run from doc_b leaves exactly the lowest doc id holding the text
+    — the same keep-first rule as q53/q64. Every input document comes back
+    (clean_text = surviving tokens rejoined with single spaces, n_removed
+    = excised token count); the coverage test is one JVM filter/exists
+    lambda over the split array with the cap-bounded cut list
+    broadcast-joined in — no corpus shuffle, no Python
+    (operators/spans.py::excise_spans). The oracle re-derives the spans
+    from gram STRINGS (the q67 chain) and replays the excision as a
+    position anti-join, so the green row value-checks find AND remove
+    end-to-end."""
+    from ..operators.spans import duplicate_spans, excise_spans
+
+    d = t(spark, sf_dir, "documents")
+    spans = duplicate_spans(
+        d,
+        "doc_id",
+        "text",
+        k=SPAN_K,
+        min_tokens=SPAN_MIN_TOKENS,
+        max_docs_per_gram=SPAN_GRAM_CAP,
+    )
+    return excise_spans(d, spans, "doc_id", "text").orderBy("doc_id")
