@@ -107,13 +107,20 @@ def _query_rows_at_2(name, sf_dir):
 
 def test_grouped_and_iterative_queries_parallelism_invariant(spark):
     """The riskiest operator shapes for partitioning-dependence — q53's
-    per-group applyInPandas greedy filter and q64's iterative min-label
-    propagation — must return identical rows at local[2] (fresh process,
-    2 shuffle partitions) and the in-session local[8]."""
+    per-group applyInPandas greedy filter, q64's iterative min-label
+    propagation, q67's per-diagonal island windows (seed rows arrive from
+    a shuffled equi-join) and q69's broadcast excision over q67's output —
+    must return identical rows at local[2] (fresh process, 2 shuffle
+    partitions) and the in-session local[8]."""
     import __spark_entry__ as e
 
     sf_dir = "/root/testdata/sf0.001"
-    for name in ("q53_tfidf_neardup_filter", "q64_dedup_components"):
+    for name in (
+        "q53_tfidf_neardup_filter",
+        "q64_dedup_components",
+        "q67_duplicate_spans",
+        "q69_excise_spans",
+    ):
         rows8 = [
             [None if v is None else str(v) for v in r]
             for r in e.queries()[name](spark, sf_dir).collect()
