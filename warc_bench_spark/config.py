@@ -19,6 +19,7 @@ crawl-order / URL-seen equality tests are a pure function of (corpus, config).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 
@@ -76,6 +77,21 @@ class CrawlConfig:
 
     # engine
     shuffle_partitions: int = 32
+    # Key encoding: carry url_hash as the 32-byte BINARY digest
+    # (unhex of the sha256 hex) through every engine exchange, sort,
+    # cache and persisted table instead of the 64-char hex string —
+    # ~32 B/row less shuffle+spill traffic at equal CPU. Accepted as
+    # the kernel default in round 6 (BENCH/BASELINE.md lever ledger);
+    # adopted engine-wide in round 7. Safe because unsigned byte order
+    # == lowercase-hex order, so ranking, salting, dedup and virtual
+    # time are bit-identical (tests/test_binary_key.py), and the Bloom/
+    # cuckoo shard bit positions derive from the same 60-bit slices in
+    # either encoding, so persisted shards are encoding-independent.
+    # SPARK_GRAFT_BINARY_HASH=0 reverts both kernel and engine. The
+    # public readers (CrawlEngine.url_seen) still return lowercase hex.
+    binary_url_hash: bool = field(
+        default_factory=lambda: os.environ.get("SPARK_GRAFT_BINARY_HASH", "1") == "1"
+    )
     # rewrite append-tables (url_seen, crawl_log) as one compact version
     # every N waves — the small-files control an Iceberg deployment would
     # get from rewrite_data_files

@@ -308,9 +308,17 @@ def path_udf(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: (urlsplit(u).path or "/") if u else None)
 
 
-def url_hash_col(canonical: Column) -> Column:
-    """Full sha256 hex of the canonical URL — JVM built-in, no Python."""
-    return F.sha2(canonical, 256)
+def url_hash_col(canonical: Column, binary: bool = False) -> Column:
+    """sha256 of the canonical URL — JVM built-in, no Python.
+
+    ``binary=False`` (query plans, oracle parity): the 64-char lowercase
+    hex string. ``binary=True`` (the engine's wave-loop carry, cfg.
+    binary_url_hash): the same digest re-encoded as 32 raw bytes via
+    ``unhex`` — half the key bytes through every exchange/sort/cache,
+    with identical ordering (unsigned byte order == lowercase-hex order;
+    tests/test_binary_key.py)."""
+    h = F.sha2(canonical, 256)
+    return F.unhex(h) if binary else h
 
 
 def url_hash64_col(hash_hex: Column) -> Column:

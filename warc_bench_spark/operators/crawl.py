@@ -31,6 +31,12 @@ Scale notes (100 TB / 10^10-URL design point):
   is a TakeOrderedAndProject (top-B), never a full sort of the frontier.
 * the only Python in the hot path is the Arrow-vectorized canonicalizer and
   the Bloom probe; scheduling, hashing, extraction, joins are all JVM.
+* url_hash is carried as the 32-byte BINARY digest (cfg.binary_url_hash,
+  default on since round 7) instead of the 64-char hex string: ~32 B/row
+  less traffic through every exchange, sort, cache and persisted table at
+  equal CPU — the r6-accepted kernel lever (BENCH/BASELINE.md) applied
+  engine-wide. Ordering, salting and shard assignment are bit-identical
+  in either encoding; the public readers still expose lowercase hex.
 """
 
 from __future__ import annotations
@@ -106,6 +112,11 @@ class CrawlEngine:
         ('HOST')`` would strip ports and diverge). Deriving host in the
         JVM instead of the UDF struct halves the Arrow return traffic —
         the r5 kernel t8 win (see urls.py docstring / BENCH/BASELINE.md).
+
+        url_hash encoding follows ``cfg.binary_url_hash`` (32-byte BINARY
+        by default since round 7 — the r6-accepted kernel lever applied
+        engine-wide; identical ordering/salting/shard semantics, see
+        config.py and tests/test_binary_key.py).
         """
         keep = [c for c in df.columns if c != url_col]
         return (
@@ -113,8 +124,48 @@ class CrawlEngine:
             .select(*keep, "canonical_url")
             .filter(F.col("canonical_url").isNotNull())
             .withColumn("host", host_from_canonical_col(F.col("canonical_url")))
-            .withColumn("url_hash", url_hash_col(F.col("canonical_url")))
+            .withColumn(
+                "url_hash",
+                url_hash_col(
+                    F.col("canonical_url"), binary=self.cfg.binary_url_hash
+                ),
+            )
         )
+
+    @staticmethod
+    def _encode_key(df: DataFrame, binary: bool) -> DataFrame:
+        """Re-encode url_hash to the requested carry (bijection both ways:
+        unhex / lower∘hex — F.hex emits uppercase, the simulator lowercase)."""
+        from pyspark.sql.types import BinaryType
+
+        is_bin = isinstance(df.schema["url_hash"].dataType, BinaryType)
+        if is_bin == binary:
+            return df
+        if binary:
+            return df.withColumn("url_hash", F.unhex("url_hash"))
+        return df.withColumn("url_hash", F.lower(F.hex("url_hash")))
+
+    def _coerce_key(self, df: DataFrame | None) -> DataFrame | None:
+        """Re-encode a persisted table's url_hash to cfg's carry encoding.
+
+        A resume may load state written under the other encoding (e.g. a
+        crawl started with SPARK_GRAFT_BINARY_HASH=0 resumed without it);
+        joins between a binary and a string key would fail analysis. The
+        Bloom/cuckoo shard files need no conversion at all — their bit
+        positions derive from the same 60-bit digest slices in either
+        encoding (dedup.hex_slices_u64).
+
+        IMPORTANT (append-table discipline): this converts the IN-FLIGHT
+        frame only. Deltas APPENDED to a persisted table must be written in
+        the table's STORED encoding — parquet stores string and binary both
+        as BYTE_ARRAY, so a mixed-encoding table reads back silently wrong
+        (raw digest bytes decoded as "strings"), not as an analysis error.
+        The stored encoding switches only on a compaction rewrite (replace
+        mode). See _run_wave's url_seen write.
+        """
+        if df is None or "url_hash" not in df.columns:
+            return df
+        return self._encode_key(df, self.cfg.binary_url_hash)
 
     def _robots_allowed(self, df: DataFrame) -> DataFrame:
         """Drop robots-disallowed URLs (broadcast dimension join, J6).
@@ -186,11 +237,22 @@ class CrawlEngine:
             phases[phase] = phases.get(phase, 0.0) + (now - _t0)
             _t0 = now
 
-        frontier = self.store.read_table(spark, "frontier")
-        seen = self.store.read_table(spark, "url_seen")
+        from pyspark.sql.types import BinaryType
+
+        frontier = self._coerce_key(self.store.read_table(spark, "frontier"))
+        seen_raw = self.store.read_table(spark, "url_seen")
+        # the persisted table's key encoding — appends must match it
+        # (see _coerce_key's append-table discipline note)
+        seen_stored_binary = (
+            isinstance(seen_raw.schema["url_hash"].dataType, BinaryType)
+            if seen_raw is not None
+            else cfg.binary_url_hash
+        )
+        seen = self._coerce_key(seen_raw)
         if seen is None:  # wave 0: the bootstrap manifest lists no url_seen
+            key_t = "binary" if cfg.binary_url_hash else "string"
             seen = spark.createDataFrame(
-                [], "url_hash string, canonical_url string, wave int"
+                [], f"url_hash {key_t}, canonical_url string, wave int"
             )
         seen_nonempty = seq_start > 0  # manifest metadata, no Spark job
 
@@ -289,7 +351,14 @@ class CrawlEngine:
             )
         else:
             append_rels["url_seen"] = self.store.write_table(
-                "url_seen", seen_delta, wave + 1, mode="append"
+                "url_seen",
+                # append in the TABLE's stored encoding (a mixed-encoding
+                # parquet table reads back silently wrong — both encodings
+                # are BYTE_ARRAY physically); cfg's encoding takes over at
+                # the next compaction rewrite
+                self._encode_key(seen_delta, seen_stored_binary),
+                wave + 1,
+                mode="append",
             )
         n_admitted = int(obs_admitted.get["n"])
         _mark("schedule_seen_write")  # candidate pipeline + politeness +
@@ -472,11 +541,18 @@ class CrawlEngine:
         return df.orderBy("seq")
 
     def url_seen(self) -> DataFrame:
+        """Public reader: url_hash is ALWAYS the lowercase sha256 hex here
+        regardless of the internal carry encoding (golden comparisons and
+        downstream consumers key on the hex form)."""
         df = self.store.read_table(self.spark, "url_seen")
         if df is None:
             return self.spark.createDataFrame(
                 [], "url_hash string, canonical_url string, wave int"
             )
+        from pyspark.sql.types import BinaryType
+
+        if isinstance(df.schema["url_hash"].dataType, BinaryType):
+            df = df.withColumn("url_hash", F.lower(F.hex("url_hash")))
         return df
 
     def metrics(self) -> DataFrame:

@@ -44,7 +44,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
 from ..config import CrawlConfig
-from .dedup import hex_slices_u64, not_seen_exact
+from .dedup import hash64_expr, hex_slices_u64, not_seen_exact
 
 SLOTS = 4
 MAX_KICKS = 500
@@ -55,9 +55,10 @@ DEFAULT_M_BUCKETS = 1 << 17
 Payload = dict[int, tuple[np.ndarray, bool]]
 
 
-def _parts(hexes: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """(bucket hash, nonzero 16-bit fingerprint) — vectorized hex decode."""
-    h1u, h2u = hex_slices_u64(hexes)
+def _parts(keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket hash, nonzero 16-bit fingerprint) — vectorized decode of
+    either key encoding (hex string or 32-byte binary digest)."""
+    h1u, h2u = hex_slices_u64(keys)
     return h1u.astype(np.int64), (h2u % np.uint64(65535)).astype(np.int64) + 1
 
 
@@ -117,11 +118,11 @@ class CuckooShard:
         return hit
 
 
-def _shard_col(n_shards: int):
-    # same sharding as the Bloom shards: int(hex[:15], 16) % n_shards
-    return (
-        F.conv(F.substring("url_hash", 1, 15), 16, 10).cast("long") % n_shards
-    ).cast("int")
+def _shard_col(df: DataFrame, n_shards: int):
+    # same sharding as the Bloom shards: int(hex[:15], 16) % n_shards —
+    # hash64_expr derives the identical value from either key encoding,
+    # so persisted shard sets survive a hex<->binary switch
+    return (hash64_expr(df) % n_shards).cast("int")
 
 
 def insert_distributed(
@@ -153,9 +154,9 @@ def insert_distributed(
             {"shard": [sid], "table": [sh.table.tobytes()], "saturated": [sh.saturated]}
         )
 
+    keyed = df.select("url_hash")
     rows = (
-        df.select("url_hash")
-        .withColumn("_shard", _shard_col(n_shards))
+        keyed.withColumn("_shard", _shard_col(keyed, n_shards))
         .groupBy("_shard")
         .applyInPandas(build, "shard int, table binary, saturated boolean")
         .collect()

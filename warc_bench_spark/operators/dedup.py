@@ -18,14 +18,17 @@ dropped and no seen URL ever re-admitted.
 Shards are partitioned by ``hash64 % n_shards`` and broadcast as a dict of
 numpy bitmaps; the probe is an Arrow-vectorized pandas UDF. Bit positions
 use double hashing: pos_i = (h1 + i*h2) mod m with h1, h2 taken from
-disjoint slices of the sha256 hex — deterministic across engine runs.
+disjoint 60-bit slices of the sha256 digest — the same values whether the
+key is carried as the hex string or the 32-byte binary form
+(cfg.binary_url_hash), so shard files are encoding-independent and
+deterministic across engine runs.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
@@ -33,23 +36,36 @@ from pyspark.sql.types import BooleanType
 from ..config import CrawlConfig
 
 
-def _h1h2(url_hash_hex: str) -> tuple[int, int]:
-    h1 = int(url_hash_hex[:15], 16)
-    h2 = int(url_hash_hex[15:30], 16) | 1
-    return h1, h2
+def hex_slices_u64(keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(digest bits 0-59, bits 60-119) as uint64 — fully vectorized, for
+    EITHER key encoding (the name predates the binary carry).
 
+    Hex strings: ``(int(hex[:15], 16), int(hex[15:30], 16))`` — the
+    per-element ``int(s, 16)`` this replaces was row-at-a-time Python
+    inside the Arrow batch (the kernel's hottest inner loop). The hex
+    strings become a byte matrix; digits decode with one arithmetic pass
+    and fold column-wise (30 vector ops total, independent of row count).
 
-def hex_slices_u64(hexes: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """(hex[:15], hex[15:30]) as uint64 — fully vectorized.
-
-    The per-element ``int(s, 16)`` this replaces was row-at-a-time Python
-    inside the Arrow batch (the kernel's hottest inner loop). Here the hex
-    strings become a byte matrix; digits decode with one arithmetic pass and
-    fold column-wise (30 vector ops total, independent of row count).
+    32-byte BINARY digests (cfg.binary_url_hash): the same two 60-bit
+    values folded straight from the raw bytes — bits 0-63 >> 4 and
+    bits 56-119 masked to the low 60 — so shard assignment and Bloom/
+    cuckoo bit positions are IDENTICAL across encodings (persisted shard
+    files survive an encoding switch; tests/test_binary_key.py pins it).
     Shared with the cuckoo filter (operators/cuckoo.py).
     """
+    if len(keys) and isinstance(keys.iloc[0], (bytes, bytearray)):
+        b = np.frombuffer(
+            np.asarray(keys, dtype="S32").tobytes(), dtype=np.uint8
+        ).reshape(-1, 32)
+        h1 = np.zeros(len(b), dtype=np.uint64)
+        h2 = np.zeros(len(b), dtype=np.uint64)
+        for j in range(8):
+            h1 = (h1 << np.uint64(8)) | b[:, j]
+        for j in range(7, 15):
+            h2 = (h2 << np.uint64(8)) | b[:, j]
+        return h1 >> np.uint64(4), h2 & np.uint64((1 << 60) - 1)
     b = np.frombuffer(
-        np.asarray(hexes, dtype="S30").tobytes(), dtype=np.uint8
+        np.asarray(keys, dtype="S30").tobytes(), dtype=np.uint8
     ).reshape(-1, 30)
     d = np.where(b >= 97, b - 87, b - 48).astype(np.uint64)  # 'a'-'f' | '0'-'9'
     h1 = np.zeros(len(d), dtype=np.uint64)
@@ -58,6 +74,22 @@ def hex_slices_u64(hexes: pd.Series) -> tuple[np.ndarray, np.ndarray]:
         h1 = (h1 << np.uint64(4)) | d[:, j]
         h2 = (h2 << np.uint64(4)) | d[:, j + 15]
     return h1, h2
+
+
+def hash64_expr(df: DataFrame, col: str = "url_hash") -> Column:
+    """JVM column for ``int(hex[:15], 16)`` under either key encoding.
+
+    Used only on bounded build paths (shard assignment of a wave's seen
+    delta), so the ``hex()`` round-trip for binary keys is off the hot
+    path. ``conv`` parses uppercase hex (what ``F.hex`` emits) the same
+    as lowercase.
+    """
+    from pyspark.sql.types import BinaryType
+
+    c = F.col(col)
+    if isinstance(df.schema[col].dataType, BinaryType):
+        c = F.hex(c)
+    return F.conv(F.substring(c, 1, 15), 16, 10).cast("long")
 
 
 def _hex_slices_u64(hexes: pd.Series) -> tuple[np.ndarray, np.ndarray]:
@@ -97,9 +129,9 @@ def build_bloom_shards(seen: DataFrame, cfg: CrawlConfig) -> dict[int, bytes]:
             {"shard": [int(pdf["_shard"].iloc[0])], "bitmap": [bits.tobytes()]}
         )
 
-    sharded = seen.select("url_hash").withColumn(
-        "_shard",
-        (F.conv(F.substring("url_hash", 1, 15), 16, 10).cast("long") % n_shards).cast("int"),
+    keyed = seen.select("url_hash")
+    sharded = keyed.withColumn(
+        "_shard", (hash64_expr(keyed) % n_shards).cast("int")
     )
     rows = (
         sharded.groupBy("_shard")
