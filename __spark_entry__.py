@@ -45,6 +45,21 @@ import warc_bench_spark.plans.domtree  # noqa: E402,F401  (extends REGISTRY)
 import warc_bench_spark.plans.scheduling  # noqa: E402,F401  (extends REGISTRY)
 import warc_bench_spark.plans.relational2  # noqa: E402,F401  (extends REGISTRY)
 
+# Window rotation, round 7: new queries register in their family module
+# (which may sit past entry 50), so each one is PROMOTED to the position
+# of a query that already holds a green driver row of record; the green
+# query shifts out of the window on that row (contract item 2). The
+# rotation is explicit data here — not a silent import reorder — and
+# tests/test_registry_window.py still verifies the result.
+_PROMOTE: dict[str, str] = {
+    # new query            -> green-row query whose slot it takes
+    "q70_asof_salted_state": "q55_dom_flatten",  # q55 green r5
+}
+_order = list(REGISTRY)
+for _new, _out in _PROMOTE.items():
+    _order.insert(_order.index(_out), _order.pop(_order.index(_new)))
+REGISTRY = {name: REGISTRY[name] for name in _order}
+
 
 # Queries that CANNOT have a DuckDB value-hash oracle, with why; the driver
 # records the weaker rows-only check for these (window-contract item 3).

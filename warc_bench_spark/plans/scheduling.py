@@ -127,3 +127,60 @@ def q65(spark, sf_dir):
     return joined.select("event_id", "user_id", "value", "state_val").orderBy(
         "event_id"
     )
+
+
+@register(
+    "q70_asof_salted_state",
+    """
+    WITH l AS (
+        SELECT event_id, user_id, epoch_us(ts) AS its, value
+        FROM events WHERE event_type = 'click'
+    ), r AS (
+        -- unique state row per (user, ts): the as-of contract
+        SELECT user_id, epoch_us(ts) AS its, MAX(value) AS state_val
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, epoch_us(ts)
+    )
+    SELECT l.event_id, l.user_id, l.value,
+           (SELECT r.state_val FROM r
+            WHERE r.user_id = l.user_id AND r.its <= l.its
+            ORDER BY r.its DESC LIMIT 1) AS state_val
+    FROM l ORDER BY event_id
+    """,
+)
+def q70(spark, sf_dir):
+    """q65's as-of state join routed through the SALTED physical path
+    (operators/asof.py ``salt_interval`` with no ``hot_keys`` = the
+    all-hot case): windows partition by (user, hour-bucket) instead of
+    one partition per user, with each bucket's carry-in state injected
+    as a synthetic head row — the r6 hot-key skew remedy, here under the
+    full value-hash oracle (the oracle states the plain as-of semantics;
+    salting is physical only, so any divergence is a salting bug).
+    Timestamps are exact integer microseconds on both engines
+    (``unix_micros`` / ``epoch_us``) — no float epoch, no truncation
+    ambiguity. Reference semantics: frequency_limiter.py:24-47's
+    consult-latest-state-before-now, as in q65."""
+    from ..operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "its", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "its", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "its")
+        .agg(F.max("value").alias("state_val"))
+    )
+    joined = asof_join(
+        clicks,
+        views,
+        on=["user_id"],
+        ts="its",
+        state_cols=["state_val"],
+        salt_interval=3_600_000_000,  # 1-hour buckets in microseconds
+    )
+    return joined.select("event_id", "user_id", "value", "state_val").orderBy(
+        "event_id"
+    )
