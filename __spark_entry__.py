@@ -52,12 +52,15 @@ import warc_bench_spark.plans.relational2  # noqa: E402,F401  (extends REGISTRY)
 # rotation is explicit data here — not a silent import reorder — and
 # tests/test_registry_window.py still verifies the result.
 _PROMOTE: dict[str, str] = {
-    # new query            -> green-row query whose slot it takes
-    "q70_asof_salted_state": "q55_dom_flatten",  # q55 green r5
+    # new query              -> green-row query it is inserted before
+    # (applied in order; q58 and q55 shift out on their green r5 rows)
+    "q70_asof_salted_state": "q58_sitemap_seeds",
+    "q71_embed_cosine_neardup": "q58_sitemap_seeds",
 }
 _order = list(REGISTRY)
 for _new, _out in _PROMOTE.items():
-    _order.insert(_order.index(_out), _order.pop(_order.index(_new)))
+    _q = _order.pop(_order.index(_new))  # pop FIRST (a pre-pop index of
+    _order.insert(_order.index(_out), _q)  # _out would be stale by one)
 REGISTRY = {name: REGISTRY[name] for name in _order}
 
 

@@ -674,6 +674,143 @@ def q62(spark, sf_dir):
     )
 
 
+# embedding-cosine near-dup: LSH-bucketed candidate pairs, verdict by an
+# ALL-INTEGER cosine-threshold test (no float compare can flip the hash)
+NEARDUP_TAU_NUM = 2  # cosine threshold tau = 2/5 = 0.4
+NEARDUP_TAU_DEN = 5
+
+
+def _q71_sql() -> str:
+    planes = _ann_planes()
+    t2n, t2d = NEARDUP_TAU_NUM**2, NEARDUP_TAU_DEN**2
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * {ANN_Q})) AS qv
+      FROM embeddings),
+    qn AS (
+      SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS n2
+      FROM q),
+    sig AS (
+      SELECT vec_id, qv, n2,
+             {_ann_band_sql(planes, 0)} AS s0,
+             {_ann_band_sql(planes, 1)} AS s1
+      FROM qn),
+    b0 AS (
+      SELECT vec_id, qv, n2, 0 AS band, s0 AS sig FROM sig
+      UNION ALL
+      SELECT vec_id, qv, n2, 1, s1 FROM sig),
+    b AS (
+      SELECT vec_id, qv, n2, band, sig FROM (
+        SELECT b0.*, COUNT(*) OVER (PARTITION BY band, sig) AS _bn FROM b0)
+      WHERE _bn <= {ANN_MAX_BUCKET}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                      x.qv AS qa, y.qv AS qb, x.n2 AS na2, y.n2 AS nb2
+      FROM b x JOIN b y ON x.band = y.band AND x.sig = y.sig
+                       AND x.vec_id < y.vec_id)
+    SELECT vec_a, vec_b,
+           CAST(list_dot_product(qa, qb) AS BIGINT) AS dot_q,
+           na2, nb2,
+           (CAST(list_dot_product(qa, qb) AS BIGINT) > 0 AND
+            {t2d} * CAST(list_dot_product(qa, qb) AS BIGINT)
+                  * CAST(list_dot_product(qa, qb) AS BIGINT)
+            >= {t2n} * na2 * nb2) AS is_dup
+    FROM cand ORDER BY vec_a, vec_b
+    """
+
+
+@register("q71_embed_cosine_neardup", _q71_sql())
+def q71(spark, sf_dir):
+    """Embedding-cosine near-dup detection, fully oracled: quantize to
+    integers (q62's machinery), band into hyperplane-sign buckets, self-
+    join candidate pairs inside each bucket (with q24's stop-bucket cap —
+    candidates scale with bucket occupancy, never corpus²), then decide
+    cosine(a,b) >= tau with the all-integer test
+
+        dot > 0  AND  tau_den^2 * dot^2 >= tau_num^2 * |a|^2 * |b|^2
+
+    so both engines compare exact BIGINTs — no float threshold can
+    diverge (the q62/q53 exactness discipline; bounds: |qv_i| <= ~525,
+    dot <= 6.4e7, 25*dot^2 <= 1.1e17 < 2^63). This is the embedding
+    flavor of the near-dup family (D3): q60 is token-Jaccard, q71 is
+    cosine — the pair-scoring stage a dedup-cluster election (q64)
+    consumes."""
+    from ..operators.similarity import dot_col, signature_col
+
+    planes = _ann_planes()
+    e = t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"), lambda x: F.round(x * ANN_Q, 0)
+    )
+    base = e.select("vec_id", qv.alias("qv")).withColumn(
+        "n2", dot_col(F.col("qv"), F.col("qv")).cast("long")
+    )
+
+    def band_sig(b: int):
+        sub = [
+            [float(v) for v in p]
+            for p in planes[b * ANN_BAND_BITS : (b + 1) * ANN_BAND_BITS]
+        ]
+        return signature_col(F.col("qv"), sub)
+
+    sig = base.select(
+        "vec_id",
+        "qv",
+        "n2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
+                    for b in range(ANN_N_BANDS)
+                ]
+            )
+        ).alias("_bs"),
+    ).select("vec_id", "qv", "n2", "_bs.band", "_bs.sig")
+    bounded = sig.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+    ).filter(F.col("_bn") <= ANN_MAX_BUCKET)
+    left = bounded.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("na2"),
+        "band",
+        "sig",
+    )
+    right = bounded.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qb"),
+        F.col("n2").alias("nb2"),
+        "band",
+        "sig",
+    )
+    cand = (
+        left.join(right, ["band", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    dot_q = dot_col(F.col("qa"), F.col("qb")).cast("long")
+    t2n, t2d = F.lit(NEARDUP_TAU_NUM**2), F.lit(NEARDUP_TAU_DEN**2)
+    return (
+        cand.withColumn("dot_q", dot_q)
+        .select(
+            "vec_a",
+            "vec_b",
+            "dot_q",
+            "na2",
+            "nb2",
+            (
+                (F.col("dot_q") > 0)
+                & (
+                    t2d * F.col("dot_q") * F.col("dot_q")
+                    >= t2n * F.col("na2") * F.col("nb2")
+                )
+            ).alias("is_dup"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end near-dup pipeline: LSH candidates -> exact Jaccard verify
 # ---------------------------------------------------------------------------
