@@ -767,26 +767,50 @@ def q71(spark, sf_dir):
             )
         ).alias("_bs"),
     ).select("vec_id", "qv", "n2", "_bs.band", "_bs.sig")
-    bounded = sig.withColumn(
-        "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
-    ).filter(F.col("_bn") <= ANN_MAX_BUCKET)
-    left = bounded.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("qv").alias("qa"),
-        F.col("n2").alias("na2"),
-        "band",
-        "sig",
+    # Plan shape (vs the obvious window + self-join): the stop-bucket
+    # guard is a partially-aggregable COUNT, so a degenerate bucket at
+    # 10^10 rows is dropped via map-side combine without ever
+    # concentrating its raw rows in one task (a count window would);
+    # and pairs are enumerated per bucket with JVM higher-order
+    # functions over ONE collected member list (<= cap rows by the
+    # guard) — one scan, one groupBy, no self-join re-executing the
+    # signature subtree twice per side.
+    kept = (
+        sig.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= ANN_MAX_BUCKET)
+        .select("band", "sig")
     )
-    right = bounded.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("qv").alias("qb"),
-        F.col("n2").alias("nb2"),
-        "band",
-        "sig",
+    members = (
+        sig.join(kept, ["band", "sig"])
+        .groupBy("band", "sig")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "qv", "n2"))
+            ).alias("ms")
+        )
+    )
+    # ascending vec_id inside ms (sort_array on the struct, vec_id
+    # first), so (element, any later element) is exactly vec_a < vec_b
+    pairs = F.flatten(
+        F.transform(
+            "ms",
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     cand = (
-        left.join(right, ["band", "sig"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        members.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.a.vec_id").alias("vec_a"),
+            F.col("p.b.vec_id").alias("vec_b"),
+            F.col("p.a.qv").alias("qa"),
+            F.col("p.b.qv").alias("qb"),
+            F.col("p.a.n2").alias("na2"),
+            F.col("p.b.n2").alias("nb2"),
+        )
         .dropDuplicates(["vec_a", "vec_b"])
     )
     dot_q = dot_col(F.col("qa"), F.col("qb")).cast("long")
