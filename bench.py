@@ -578,6 +578,9 @@ def main() -> None:
         "pil_available": pil_available(),
         "video_available": video_available(),
         "cdifflib_available": cdifflib_available(),
+        # r7: the kernel lever applied engine-wide — kernel AND wave loop
+        # both follow SPARK_GRAFT_BINARY_HASH (cfg.binary_url_hash)
+        "binary_url_hash": BINARY_HASH,
     }
 
     # The stdout line must PARSE in the driver's 2000-char tail capture

@@ -83,3 +83,27 @@ def test_schedule_kernel_plan(spark):
     sched.collect()  # finalize the adaptive plan so codegen spans are visible
     final = plan_of(sched)
     assert "WholeStageCodegen" in final or "isFinalPlan=true" in final
+
+
+def test_q71_grouped_pair_plan(spark):
+    """q71's candidate stage must stay the single-pass grouped shape: the
+    stop-bucket guard as a partially-aggregable count feeding the
+    membership join, pairs enumerated from one collected member list —
+    never a window over raw bucket rows, never a bucket self-join (which
+    would re-execute the signature subtree once per side), and never a
+    cartesian product."""
+    import warc_bench_spark.plans.similarity_text  # noqa: F401 (registers q71)
+    from warc_bench_spark.plans.relational import REGISTRY
+
+    df = REGISTRY["q71_embed_cosine_neardup"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # guard is an aggregate, not a count window
+    # one signature subtree per side of the guard join, nothing more
+    # (formatted explain prints each node in the tree AND the details
+    # section — count the numbered detail entries, not the substring)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+    # the pair enumeration collects each (capped) bucket exactly once
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
