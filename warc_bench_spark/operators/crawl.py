@@ -380,12 +380,18 @@ class CrawlEngine:
         )
         new_urls = self._robots_allowed(new_urls)
 
-        # 5. next frontier: remove admitted; add first-discovered new URLs
+        # 5. next frontier: remove admitted; add first-discovered new URLs.
+        #    fresh excludes the whole frontier TABLE, not `remaining`: for
+        #    rows already anti-joined against `admitted`,  x ∉ remaining
+        #    ⟺ x ∉ frontier ∨ x ∈ admitted  ⟺ x ∉ frontier — same set,
+        #    but the anti-join's build side is the materialized parquet
+        #    scan instead of a second frontier⟂admitted subtree (the
+        #    union branch below already computes `remaining` once).
         remaining = frontier.join(admitted.select("url_hash"), "url_hash", "left_anti")
         fresh = (
             new_urls.join(seen.select("url_hash"), "url_hash", "left_anti")
             .join(admitted.select("url_hash"), "url_hash", "left_anti")
-            .join(remaining.select("url_hash"), "url_hash", "left_anti")
+            .join(frontier.select("url_hash"), "url_hash", "left_anti")
             .withColumn("discovered_wave", F.lit(wave + 1))
             .select(*FRONTIER_COLS)
         )
