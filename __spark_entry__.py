@@ -53,9 +53,11 @@ import warc_bench_spark.plans.relational2  # noqa: E402,F401  (extends REGISTRY)
 # tests/test_registry_window.py still verifies the result.
 _PROMOTE: dict[str, str] = {
     # new query              -> green-row query it is inserted before
-    # (applied in order; q58 and q55 shift out on their green r5 rows)
-    "q70_asof_salted_state": "q58_sitemap_seeds",
-    "q71_embed_cosine_neardup": "q58_sitemap_seeds",
+    # (applied in order; q57 [green r3/r4/r5], q58 and q55 [green r5]
+    # shift out of the window on those rows)
+    "q70_asof_salted_state": "q57_robots_parse",
+    "q71_embed_cosine_neardup": "q57_robots_parse",
+    "q72_range_join_recent_views": "q57_robots_parse",
 }
 _order = list(REGISTRY)
 for _new, _out in _PROMOTE.items():

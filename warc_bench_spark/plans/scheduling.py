@@ -184,3 +184,77 @@ def q70(spark, sf_dir):
     return joined.select("event_id", "user_id", "value", "state_val").orderBy(
         "event_id"
     )
+
+
+RANGE_W_US = 7_200_000_000  # 2 h lookback, exact integer microseconds
+# (sized to the corpus: per-user inter-event gaps are hours, so a 30 s
+# window matches nothing at any SF — 2 h gives 82/2006 nonzero clicks
+# at sf0.01 and 10/210 at sf0.001, so the count does real work)
+
+
+@register(
+    "q72_range_join_recent_views",
+    f"""
+    WITH l AS (
+        SELECT event_id, user_id, epoch_us(ts) AS its
+        FROM events WHERE event_type = 'click'
+    ), r AS (
+        SELECT user_id, epoch_us(ts) AS its
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT l.event_id, l.user_id,
+           CAST((SELECT COUNT(*) FROM r
+                 WHERE r.user_id = l.user_id
+                   AND r.its >= l.its - {RANGE_W_US}
+                   AND r.its <  l.its) AS BIGINT) AS n_views_2h
+    FROM l ORDER BY event_id
+    """,
+)
+def q72(spark, sf_dir):
+    """Time-range join (an operator Spark has no native form of): for
+    every click, count the same user's views in the preceding 2 h.
+    Scale shape = the canonical BUCKETED interval join: each view lands
+    in exactly one floor(ts/W) bucket, each click probes its two
+    covering buckets (range width == bucket width), the join is a plain
+    equi-join on (user, bucket) with the true range as a residual
+    filter — candidates per click are bounded by per-user-per-30s event
+    density, never by corpus size, and the shuffle keys on (user,
+    bucket) so a hot user's history still spreads over time buckets.
+    A view joins through at most one of the two probe buckets, so no
+    double counting; LEFT OUTER + conditional count keeps zero-view
+    clicks. The oracle states the same semantics as a correlated COUNT
+    (fine at oracle scale, the wrong shape at 100 TB). Timestamps are
+    exact integer microseconds both sides (q70's discipline)."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "its", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "its"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("its").alias("v_its"))
+        .withColumn("bucket", F.floor(F.col("v_its") / RANGE_W_US))
+    )
+    # the two probe buckets are always distinct (floor((t-W)/W) ==
+    # floor(t/W) - 1 for integer W), so no dedup pass is needed
+    probes = clicks.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor((F.col("its") - RANGE_W_US) / RANGE_W_US),
+                F.floor(F.col("its") / RANGE_W_US),
+            )
+        ),
+    )
+    joined = probes.join(views, ["user_id", "bucket"], "left_outer")
+    hit = (
+        F.col("v_its").isNotNull()
+        & (F.col("v_its") >= F.col("its") - RANGE_W_US)
+        & (F.col("v_its") < F.col("its"))
+    )
+    return (
+        joined.groupBy("event_id", "user_id")
+        .agg(F.count(F.when(hit, 1)).alias("n_views_2h"))
+        .orderBy("event_id")
+    )
