@@ -143,6 +143,42 @@ def test_resume_across_encodings(spark, tmp_path):
     _assert_golden(eng2, golden)
 
 
+def test_compaction_switches_stored_encoding(spark, tmp_path):
+    """The append-table discipline end-to-end: a binary-cfg resume of a
+    hex-keyed state APPENDS deltas in the table's stored encoding (hex —
+    a mixed-encoding parquet table would read back silently wrong), and
+    only the next compaction rewrite switches the stored table to the
+    cfg encoding. Golden equality must hold across the whole dance."""
+    from pyspark.sql.types import BinaryType, StringType
+
+    corpus, corpus_dir = _golden_setup(spark, tmp_path)
+    cfg_hex = dataclasses.replace(ENG_CFG, binary_url_hash=False, compact_every=2)
+    golden = simulate_crawl(corpus, cfg_hex)
+    state = str(tmp_path / "state_switch")
+
+    eng1 = CrawlEngine(spark, cfg_hex, corpus_dir, state)
+    eng1.run(max_waves=2)  # wave 1 compacts -> stored hex
+    assert isinstance(
+        eng1.store.read_table(spark, "url_seen").schema["url_hash"].dataType,
+        StringType,
+    )
+    del eng1
+
+    cfg_bin = dataclasses.replace(ENG_CFG, binary_url_hash=True, compact_every=2)
+    eng2 = CrawlEngine(spark, cfg_bin, corpus_dir, state)
+    eng2.run(max_waves=3)  # wave 2 appends: MUST stay hex on disk
+    assert isinstance(
+        eng2.store.read_table(spark, "url_seen").schema["url_hash"].dataType,
+        StringType,
+    )
+    eng2.run()  # wave 3 compacts: the rewrite switches the table to binary
+    assert isinstance(
+        eng2.store.read_table(spark, "url_seen").schema["url_hash"].dataType,
+        BinaryType,
+    )
+    _assert_golden(eng2, golden)
+
+
 def test_slices_parity_binary_vs_hex():
     """hex_slices_u64 yields identical (h1, h2) from the hex string and
     from the unhexed 32-byte digest — the fact that makes persisted

@@ -237,7 +237,13 @@ def q72(spark, sf_dir):
         .withColumn("bucket", F.floor(F.col("v_its") / RANGE_W_US))
     )
     # the two probe buckets are always distinct (floor((t-W)/W) ==
-    # floor(t/W) - 1 for integer W), so no dedup pass is needed
+    # floor(t/W) - 1 for integer W), so no dedup pass is needed.
+    # floor-of-double exactness (a wrong bucket would MISS matches, not
+    # just over-probe): its < 2^53 so the dividend is exact, and a
+    # non-integer quotient sits >= 1/W ~ 1.4e-10 from any integer while
+    # doubles near its/W ~ 2.4e5 are spaced ~3e-11 — correct rounding
+    # cannot cross the integer boundary; an exactly-integer quotient is
+    # representable and divides exactly.
     probes = clicks.withColumn(
         "bucket",
         F.explode(
