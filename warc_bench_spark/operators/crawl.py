@@ -47,6 +47,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
 
 from ..config import CrawlConfig
 from ..functions.urls import canonicalize_udf, host_from_canonical_col, url_hash_col
@@ -136,8 +137,6 @@ class CrawlEngine:
     def _encode_key(df: DataFrame, binary: bool) -> DataFrame:
         """Re-encode url_hash to the requested carry (bijection both ways:
         unhex / lower∘hex — F.hex emits uppercase, the simulator lowercase)."""
-        from pyspark.sql.types import BinaryType
-
         is_bin = isinstance(df.schema["url_hash"].dataType, BinaryType)
         if is_bin == binary:
             return df
@@ -236,8 +235,6 @@ class CrawlEngine:
             now = time.perf_counter()
             phases[phase] = phases.get(phase, 0.0) + (now - _t0)
             _t0 = now
-
-        from pyspark.sql.types import BinaryType
 
         frontier = self._coerce_key(self.store.read_table(spark, "frontier"))
         seen_raw = self.store.read_table(spark, "url_seen")
@@ -555,8 +552,6 @@ class CrawlEngine:
             return self.spark.createDataFrame(
                 [], "url_hash string, canonical_url string, wave int"
             )
-        from pyspark.sql.types import BinaryType
-
         if isinstance(df.schema["url_hash"].dataType, BinaryType):
             df = df.withColumn("url_hash", F.lower(F.hex("url_hash")))
         return df

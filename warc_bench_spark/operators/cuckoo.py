@@ -44,7 +44,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
 from ..config import CrawlConfig
-from .dedup import hash64_expr, hex_slices_u64, not_seen_exact
+from .dedup import hash64_expr, hex_slices_u64, is_binary_key, not_seen_exact
 
 SLOTS = 4
 MAX_KICKS = 500
@@ -55,10 +55,13 @@ DEFAULT_M_BUCKETS = 1 << 17
 Payload = dict[int, tuple[np.ndarray, bool]]
 
 
-def _parts(keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+def _parts(
+    keys: pd.Series, binary: bool | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """(bucket hash, nonzero 16-bit fingerprint) — vectorized decode of
-    either key encoding (hex string or 32-byte binary digest)."""
-    h1u, h2u = hex_slices_u64(keys)
+    either key encoding; ``binary`` is the schema-derived flag
+    (dedup.is_binary_key), threaded so the dispatch is structural."""
+    h1u, h2u = hex_slices_u64(keys, binary)
     return h1u.astype(np.int64), (h2u % np.uint64(65535)).astype(np.int64) + 1
 
 
@@ -135,6 +138,7 @@ def insert_distributed(
     """Insert ``df.url_hash`` into (a copy of) the shard set, per-shard on
     executors; returns the merged payload. Untouched shards pass through."""
     n_shards = cfg.bloom_shards
+    binary = is_binary_key(df)  # plan-time fact, fixed into the closure
     bexist = spark.sparkContext.broadcast(
         {s: (t.tobytes(), sat) for s, (t, sat) in (existing or {}).items()}
     )
@@ -148,7 +152,7 @@ def insert_distributed(
             else None
         )
         sh = CuckooShard(m_buckets, table=table, saturated=bool(prior[1]) if prior else False)
-        h1, fp = _parts(pdf["url_hash"])
+        h1, fp = _parts(pdf["url_hash"], binary)
         sh.insert_many(h1, fp)
         return pd.DataFrame(
             {"shard": [sid], "table": [sh.table.tobytes()], "saturated": [sh.saturated]}
@@ -190,7 +194,8 @@ class CuckooShards:
         )
         return self
 
-    def maybe_udf(self, spark: SparkSession):
+    def maybe_udf(self, spark: SparkSession, binary: bool = False):
+        """``binary`` is the probed column's schema-derived encoding."""
         payload = {s: (t.copy(), sat) for s, (t, sat) in self.payload.items()}
         n_shards = self.cfg.bloom_shards
         m = self.m
@@ -199,7 +204,7 @@ class CuckooShards:
         @pandas_udf(BooleanType())
         def maybe_seen(hexes: pd.Series) -> pd.Series:
             local = b.value
-            h1, fp = _parts(hexes)
+            h1, fp = _parts(hexes, binary)
             sid = h1 % n_shards
             out = np.zeros(len(hexes), dtype=bool)
             for s in np.unique(sid):
@@ -285,7 +290,7 @@ def not_seen_cuckoo(
     filt: CuckooShards,
 ) -> DataFrame:
     """Cuckoo prefilter + exact anti-join for the flagged residue."""
-    maybe = filt.maybe_udf(spark)
+    maybe = filt.maybe_udf(spark, binary=is_binary_key(candidates))
     flagged = candidates.withColumn("_maybe", maybe(F.col("url_hash")))
     fresh = flagged.filter(~F.col("_maybe")).drop("_maybe")
     residue = not_seen_exact(flagged.filter(F.col("_maybe")).drop("_maybe"), seen)

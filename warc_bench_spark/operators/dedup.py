@@ -31,12 +31,23 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import BinaryType, BooleanType
 
 from ..config import CrawlConfig
 
 
-def hex_slices_u64(keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+def is_binary_key(df: DataFrame, col: str = "url_hash") -> bool:
+    """Schema-derived key-encoding flag (cfg.binary_url_hash's ground
+    truth for a given frame). Thread THIS into the Arrow closures below —
+    the encoding is a plan-time fact, and deciding it structurally keeps
+    the safety-critical Bloom/cuckoo decode from ever mis-dispatching on
+    a surprising element representation."""
+    return isinstance(df.schema[col].dataType, BinaryType)
+
+
+def hex_slices_u64(
+    keys: pd.Series, binary: bool | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """(digest bits 0-59, bits 60-119) as uint64 — fully vectorized, for
     EITHER key encoding (the name predates the binary carry).
 
@@ -52,8 +63,16 @@ def hex_slices_u64(keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     cuckoo bit positions are IDENTICAL across encodings (persisted shard
     files survive an encoding switch; tests/test_binary_key.py pins it).
     Shared with the cuckoo filter (operators/cuckoo.py).
+
+    ``binary``: pass the schema-derived flag (``is_binary_key``) from
+    every engine call site — the encoding is a plan-time fact, and a
+    structural flag can never mis-dispatch on an unexpected element
+    representation. ``None`` (tests/ad-hoc only) sniffs the first
+    element.
     """
-    if len(keys) and isinstance(keys.iloc[0], (bytes, bytearray)):
+    if binary is None:
+        binary = bool(len(keys)) and isinstance(keys.iloc[0], (bytes, bytearray))
+    if binary and len(keys):
         b = np.frombuffer(
             np.asarray(keys, dtype="S32").tobytes(), dtype=np.uint8
         ).reshape(-1, 32)
@@ -84,17 +103,17 @@ def hash64_expr(df: DataFrame, col: str = "url_hash") -> Column:
     path. ``conv`` parses uppercase hex (what ``F.hex`` emits) the same
     as lowercase.
     """
-    from pyspark.sql.types import BinaryType
-
     c = F.col(col)
-    if isinstance(df.schema[col].dataType, BinaryType):
+    if is_binary_key(df, col):
         c = F.hex(c)
     return F.conv(F.substring(c, 1, 15), 16, 10).cast("long")
 
 
-def _hex_slices_u64(hexes: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+def _hex_slices_u64(
+    hexes: pd.Series, binary: bool | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """Bloom variant: (h1, h2|1) — h2 forced odd for double hashing."""
-    h1, h2 = hex_slices_u64(hexes)
+    h1, h2 = hex_slices_u64(hexes, binary)
     return h1, h2 | np.uint64(1)
 
 
@@ -118,10 +137,11 @@ def build_bloom_shards(seen: DataFrame, cfg: CrawlConfig) -> dict[int, bytes]:
     m = cfg.bloom_bits_per_shard
     k = cfg.bloom_hashes
     n_shards = cfg.bloom_shards
+    binary = is_binary_key(seen)  # plan-time fact, fixed into the closure
 
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(m // 8, dtype=np.uint8)
-        h1, h2 = _hex_slices_u64(pdf["url_hash"])
+        h1, h2 = _hex_slices_u64(pdf["url_hash"], binary)
         for i in range(k):
             pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
             np.bitwise_or.at(bits, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8))
@@ -141,8 +161,14 @@ def build_bloom_shards(seen: DataFrame, cfg: CrawlConfig) -> dict[int, bytes]:
     return {r["shard"]: r["bitmap"] for r in rows}
 
 
-def bloom_maybe_udf(spark: SparkSession, shards: dict[int, bytes], cfg: CrawlConfig):
-    """Vectorized membership probe against broadcast shards."""
+def bloom_maybe_udf(
+    spark: SparkSession,
+    shards: dict[int, bytes],
+    cfg: CrawlConfig,
+    binary: bool = False,
+):
+    """Vectorized membership probe against broadcast shards. ``binary`` is
+    the probed column's schema-derived encoding (``is_binary_key``)."""
     m = cfg.bloom_bits_per_shard
     k = cfg.bloom_hashes
     n_shards = cfg.bloom_shards
@@ -152,7 +178,7 @@ def bloom_maybe_udf(spark: SparkSession, shards: dict[int, bytes], cfg: CrawlCon
     @pandas_udf(BooleanType())
     def maybe_seen(hexes: pd.Series) -> pd.Series:
         local = bshards.value
-        h1, h2 = _hex_slices_u64(hexes)
+        h1, h2 = _hex_slices_u64(hexes, binary)
         shard_ids = (h1 % np.uint64(n_shards)).astype(np.int64)
         out = np.zeros(len(hexes), dtype=bool)
         for sid in np.unique(shard_ids):
@@ -187,7 +213,7 @@ def not_seen_bloom(
         shards = build_bloom_shards(seen, cfg)
     if not shards:
         return candidates
-    maybe = bloom_maybe_udf(spark, shards, cfg)
+    maybe = bloom_maybe_udf(spark, shards, cfg, binary=is_binary_key(candidates))
     flagged = candidates.withColumn("_maybe", maybe(F.col("url_hash")))
     fresh = flagged.filter(~F.col("_maybe")).drop("_maybe")
     residue = not_seen_exact(flagged.filter(F.col("_maybe")).drop("_maybe"), seen)
