@@ -51,15 +51,23 @@ import warc_bench_spark.plans.relational2  # noqa: E402,F401  (extends REGISTRY)
 # query shifts out of the window on that row (contract item 2). The
 # rotation is explicit data here — not a silent import reorder — and
 # tests/test_registry_window.py still verifies the result.
+_DEMOTE: list[str] = [
+    # green-row queries moved to the END of the registry to free window
+    # slots (each verified green in a committed CORRECTNESS record)
+    "q54_wacz_index",  # green r5
+]
 _PROMOTE: dict[str, str] = {
     # new query              -> green-row query it is inserted before
-    # (applied in order; q57 [green r3/r4/r5], q58 and q55 [green r5]
-    # shift out of the window on those rows)
+    # (applied in order, after _DEMOTE; q57 [green r3/r4/r5], q58 and
+    # q55 [green r5] shift out of the window on those rows)
     "q70_asof_salted_state": "q57_robots_parse",
     "q71_embed_cosine_neardup": "q57_robots_parse",
     "q72_range_join_recent_views": "q57_robots_parse",
+    "q73_exact_quantiles": "q57_robots_parse",
 }
 _order = list(REGISTRY)
+for _name in _DEMOTE:
+    _order.append(_order.pop(_order.index(_name)))
 for _new, _out in _PROMOTE.items():
     _q = _order.pop(_order.index(_new))  # pop FIRST (a pre-pop index of
     _order.insert(_order.index(_out), _q)  # _out would be stale by one)

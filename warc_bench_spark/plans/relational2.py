@@ -395,3 +395,59 @@ def q46(spark, sf_dir):
         .orderBy(F.desc("n"), "url_hash")
         .limit(50)
     )
+
+
+# exact discrete quantiles: positions as INTEGER ceil-divisions so no
+# float quantile definition can diverge between engines
+QUANTILES = [(1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75"), (19, 20, "p95")]
+
+
+def _q73_sql() -> str:
+    cases = ",\n           ".join(
+        f"MAX(CASE WHEN rn = ({num}*n + {den - 1}) // {den} THEN value END)"
+        f" AS {name}"
+        for num, den, name in QUANTILES
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_rows,
+           {cases}
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """
+
+
+@register("q73_exact_quantiles", _q73_sql())
+def q73(spark, sf_dir):
+    """Exact distributed order statistics (discrete percentiles) per
+    group: one window pass ranks each group (row_number + an unordered
+    COUNT over the same partition — one exchange, keyed on the group),
+    and the p-quantile is the value at 1-based position ceil(p*n),
+    computed as the INTEGER ceil-division (num*n + den-1) div den so no
+    float quantile definition or interpolation rule can diverge between
+    engines (ties among equal values can land any of them at rank k —
+    the selected VALUE is identical either way). Scale note: exact
+    quantiles need the per-group sort this window does; at 100 TB the
+    sketch path is approx_percentile (t-digest) when the exactness
+    contract can be relaxed — this query is the exact form."""
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    w = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w.orderBy("value")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n_rows")] + [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"({num}*n + {den - 1}) div {den}"),
+                F.col("value"),
+            )
+        ).alias(name)
+        for num, den, name in QUANTILES
+    ]
+    return ranked.groupBy("event_type").agg(*aggs).orderBy("event_type")
