@@ -44,6 +44,7 @@ import warc_bench_spark.plans.archives  # noqa: E402,F401  (extends REGISTRY)
 import warc_bench_spark.plans.domtree  # noqa: E402,F401  (extends REGISTRY)
 import warc_bench_spark.plans.scheduling  # noqa: E402,F401  (extends REGISTRY)
 import warc_bench_spark.plans.relational2  # noqa: E402,F401  (extends REGISTRY)
+import warc_bench_spark.plans.media  # noqa: E402,F401  (extends REGISTRY)
 
 # Window rotation, round 7: new queries register in their family module
 # (which may sit past entry 50), so each one is PROMOTED to the position
@@ -55,6 +56,8 @@ _DEMOTE: list[str] = [
     # green-row queries moved to the END of the registry to free window
     # slots (each verified green in a committed CORRECTNESS record)
     "q54_wacz_index",  # green r5
+    "q51_bbox_iou",  # green r6 (frees a slot for q74)
+    "q52_add_query_param",  # green r6 (frees a slot for q75)
 ]
 _PROMOTE: dict[str, str] = {
     # new query              -> green-row query it is inserted before
@@ -64,6 +67,8 @@ _PROMOTE: dict[str, str] = {
     "q71_embed_cosine_neardup": "q57_robots_parse",
     "q72_range_join_recent_views": "q57_robots_parse",
     "q73_exact_quantiles": "q57_robots_parse",
+    "q74_image_pair_stats": "q57_robots_parse",
+    "q75_benchmark_decontam": "q57_robots_parse",
 }
 _order = list(REGISTRY)
 for _name in _DEMOTE:

@@ -182,6 +182,7 @@ def run_relational(
     import warc_bench_spark.plans.domtree  # noqa: F401
     import warc_bench_spark.plans.scheduling  # noqa: F401
     import warc_bench_spark.plans.relational2  # noqa: F401
+    import warc_bench_spark.plans.media  # noqa: F401
     from warc_bench_spark.plans.relational import REGISTRY
 
     spark = get_spark("bench-relational", cores=CPUS, shuffle_partitions=CPUS)

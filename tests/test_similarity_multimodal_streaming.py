@@ -269,3 +269,62 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert len(got_rows) >= 0.5 * len(batch_map)
     for r in got_rows:
         assert batch_map[key(r)] == r["n"]
+
+
+def test_image_pair_synth_and_stats_branches(spark):
+    """q74's operator pair: real encode -> sniff -> decode round-trip, with
+    all three screenshots_differ branches represented (identical pair,
+    pixel-shifted pair, resized pair) and pixel sums matching the generator
+    arithmetic computed independently in numpy."""
+    from warc_bench_spark.operators.multimodal import (
+        image_pair_stats,
+        synth_image_pair_bytes,
+    )
+
+    docs = spark.range(0, 48).withColumnRenamed("id", "doc_id")
+    pairs = synth_image_pair_bytes(docs)
+    stats = {r["doc_id"]: r.asDict() for r in image_pair_stats(pairs).collect()}
+    assert len(stats) == 48
+
+    for d, r in stats.items():
+        h = 6 + d % 3
+        assert (r["height"], r["width"]) == (h, 8)
+        assert r["after_height"] == h + (1 if d % 24 == 0 else 0)
+        # independent pixel re-derivation
+        y, x = np.ogrid[0:h, 0:8]
+        for c, col in enumerate(("sum_r", "sum_g", "sum_b")):
+            v = (d * 31 + y * 17 + x * 7 + c * 101) % 256
+            assert r[col] == int(v.sum()), (d, col)
+        if d % 24 == 0:
+            assert r["ssd_pair"] == 0  # size-mismatch branch short-circuits
+        elif d % 16 == 0:
+            assert r["ssd_pair"] > 0  # shifted far past the MSE threshold
+            n = h * 8 * 3
+            assert 100 * r["ssd_pair"] > n * 65025
+        else:
+            assert r["ssd_pair"] == 0  # bit-identical pair
+
+
+def test_image_pair_bytes_are_real_encodings(spark):
+    """The pair blobs are genuine BMP/PPM files in opposite formats."""
+    from warc_bench_spark.functions import codecs
+    from warc_bench_spark.operators.multimodal import synth_image_pair_bytes
+
+    docs = spark.range(0, 4).withColumnRenamed("id", "doc_id")
+    rows = {r["doc_id"]: r for r in synth_image_pair_bytes(docs).collect()}
+    for d, r in rows.items():
+        kinds = (
+            codecs.sniff_media_type(bytes(r["before"])),
+            codecs.sniff_media_type(bytes(r["after"])),
+        )
+        want = (
+            ("image/bmp", "image/x-portable-pixmap")
+            if d % 2 == 0
+            else ("image/x-portable-pixmap", "image/bmp")
+        )
+        assert kinds == want
+        a = codecs.decode_image(bytes(r["before"]))
+        b = codecs.decode_image(bytes(r["after"]))
+        assert a.shape == (6 + d % 3, 8, 3)
+        if d % 16 and d % 24:
+            np.testing.assert_array_equal(a, b)

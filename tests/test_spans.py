@@ -164,3 +164,84 @@ def test_excise_untouched_docs_pass_through(spark):
     texts = {1: words("a", 10), 2: words("b", 10), 3: "x"}
     got = _excise(spark, texts, k=4, min_tokens=8)
     assert got == {1: (texts[1], 0), 2: (texts[2], 0), 3: ("x", 0)}
+
+
+# ---------------------------------------------------------------------------
+# contaminated_docs — benchmark decontamination (asymmetric ExactSubstr)
+# ---------------------------------------------------------------------------
+
+from warc_bench_spark.operators.spans import contaminated_docs
+
+
+def _bench_df(spark, bench: dict[int, str]):
+    return spark.createDataFrame(
+        [Row(bench_id=i, text=t) for i, t in sorted(bench.items())]
+    )
+
+
+def _contam(spark, texts, bench, **kw):
+    rows = contaminated_docs(
+        _docs(spark, texts), _bench_df(spark, bench), **kw
+    ).collect()
+    return {r.doc_id: (r.n_bench_docs, r.n_runs, r.max_run_tokens) for r in rows}
+
+
+def test_contam_flags_planted_overlap_only(spark):
+    shared = words("s", 10)
+    texts = {
+        1: words("a", 3) + " " + shared,  # contaminated
+        2: words("b", 12),                # clean
+    }
+    bench = {100: shared + " " + words("q", 2)}
+    got = _contam(spark, texts, bench, k=4, min_tokens=8)
+    assert got == {1: (1, 1, 10)}
+
+
+def test_contam_single_doc_gram_still_flags(spark):
+    # unlike duplicate_spans, there is NO >=2-docs gram floor: a run unique
+    # to one training doc is exactly the contamination we must find
+    shared = words("s", 9)
+    texts = {1: shared + " " + words("x", 3)}
+    bench = {7: words("p", 2) + " " + shared}
+    assert _contam(spark, texts, bench, k=4, min_tokens=8) == {1: (1, 1, 9)}
+
+
+def test_contam_counts_multiple_bench_docs_and_runs(spark):
+    r1, r2 = words("p", 9), words("q", 10)
+    texts = {1: r1 + " " + words("x", 3) + " " + r2}
+    bench = {100: r1 + " " + words("m", 2), 200: words("n", 2) + " " + r2}
+    # doc 1 shares a run with both bench docs; max run is the 10-token one
+    assert _contam(spark, texts, bench, k=4, min_tokens=8) == {1: (2, 2, 10)}
+
+
+def test_contam_corpus_stop_gram_cap(spark):
+    # boilerplate present in 6 training docs: with cap=4 its grams are
+    # dropped (no contamination signal), with cap=8 all 6 docs flag
+    shared = words("s", 12)
+    texts = {i: words(f"u{i}_", 3) + " " + shared for i in range(1, 7)}
+    bench = {100: shared}
+    assert _contam(spark, texts, bench, k=4, min_tokens=8, max_docs_per_gram=4) == {}
+    got = _contam(spark, texts, bench, k=4, min_tokens=8, max_docs_per_gram=8)
+    assert sorted(got) == [1, 2, 3, 4, 5, 6]
+    assert all(v == (1, 1, 12) for v in got.values())
+
+
+def test_contam_below_min_tokens_clean(spark):
+    shared = words("s", 7)
+    texts = {1: shared + " " + words("x", 4)}
+    bench = {100: shared}
+    assert _contam(spark, texts, bench, k=4, min_tokens=8) == {}
+
+
+def test_contam_probe_broadcast_is_the_bounded_exception(spark):
+    # the PROBE side carries a deliberate broadcast hint (bounded by the
+    # benchmark, not by corpus duplication) — in contrast to q67/q69,
+    # whose plans must carry none (test_plan_quality)
+    df = contaminated_docs(
+        _docs(spark, {1: words("a", 10)}),
+        _bench_df(spark, {100: words("a", 10)}),
+        k=4,
+        min_tokens=8,
+    )
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in logical

@@ -39,8 +39,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -395,6 +397,141 @@ def sample_video_frames_bytes(
     return media.select(
         F.col(ref_col).alias(ref_col), F.col(bytes_col).alias(bytes_col)
     ).mapInPandas(sample, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# By-construction image synthesis + decoded pixel stats (the q74 pair):
+# the multimodal family's driver-checkable oracle path — real encode and
+# real decode through the from-scratch BMP/PPM codecs, with every output
+# an integer a SQL engine can re-derive from the generator arithmetic
+# ---------------------------------------------------------------------------
+
+IMG_PAIR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("before", BinaryType()),
+        StructField("after", BinaryType()),
+    ]
+)
+
+IMG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("after_height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("ssd_pair", LongType()),
+    ]
+)
+
+
+def _synth_pixels(d: int, h: int, w: int, shift: int) -> np.ndarray:
+    """Pixel (y, x, c) of doc d = (d*31 + y*17 + x*7 + c*101 + shift) % 256
+    — BIGINT arithmetic a SQL engine re-derives verbatim (the q66/q68
+    by-construction oracle pattern, applied to pixels)."""
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    return ((d * 31 + y * 17 + x * 7 + c * 101 + shift) % 256).astype(np.uint8)
+
+
+def synth_image_pair_bytes(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 8,
+    height_base: int = 6,
+    height_mod: int = 3,
+    shift: int = 77,
+    shift_every: int = 16,
+    resize_every: int = 24,
+) -> DataFrame:
+    """(doc_id) -> (doc_id, before, after): deterministic before/after
+    screenshot pairs, REAL bytes through the from-scratch encoders.
+
+    ``before`` is the base pixel field at height ``height_base + d %
+    height_mod``; ``after`` repeats it except that every ``shift_every``-th
+    doc gets all pixel values shifted by ``shift`` (mod 256 — a change far
+    above the reference's 0.01 normalized-MSE threshold) and every
+    ``resize_every``-th doc gains one pixel row (the size-mismatch branch
+    of ``screenshots_differ``). Everything else is bit-identical, so the
+    differ verdict downstream has real TRUE and FALSE rows from all three
+    branches of ``data_utils.py:45-73``.
+
+    ``before`` encodes as BMP for even doc_ids and P6 PPM for odd;
+    ``after`` uses the OPPOSITE format — both codecs and the byte-sniffing
+    dispatch sit on the driver-checked path, and the pair compare is
+    cross-format (pixels, not bytes, decide). The blobs are real encodings
+    (``codecs.encode_bmp``/``encode_ppm``): a PIL cluster decoding these
+    files reads the same pixels back.
+    """
+    from ..functions import codecs
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            befores, afters = [], []
+            for d in ids:
+                d = int(d)
+                h = height_base + d % height_mod
+                ah = h + (1 if d % resize_every == 0 else 0)
+                s = shift if d % shift_every == 0 else 0
+                img_a = _synth_pixels(d, h, width, 0)
+                img_b = _synth_pixels(d, ah, width, s)
+                enc_a = codecs.encode_bmp if d % 2 == 0 else codecs.encode_ppm
+                enc_b = codecs.encode_ppm if d % 2 == 0 else codecs.encode_bmp
+                befores.append(enc_a(img_a))
+                afters.append(enc_b(img_b))
+            yield pd.DataFrame(
+                {"doc_id": ids, "before": befores, "after": afters}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        gen, IMG_PAIR_SCHEMA
+    )
+
+
+def image_pair_stats(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "before",
+    b_col: str = "after",
+) -> DataFrame:
+    """Decoded-pixel pair statistics, all integers: dims of both sides,
+    per-channel sums of ``before`` (the decode-roundtrip proof), and the
+    sum of squared differences between the pair (``ssd_pair``; 0 when the
+    shapes differ — the size-mismatch branch decides without an MSE, same
+    short-circuit as ``screenshots_differ``). The integer SSD is the exact
+    content of the reference's normalized MSE (``data_utils.py:64-69``):
+    ``mse = ssd / (n * 255^2)``, so the threshold verdict downstream is a
+    pure-BIGINT inequality — no float ever touches a value hash. Decode is
+    format-sniffed (``codecs.decode_image``), the same dispatch as the
+    real-bytes metadata probe."""
+    from ..functions import codecs
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in IMG_STATS_SCHEMA.fields}
+            for d, a, b in zip(pdf[id_col], pdf[a_col], pdf[b_col]):
+                ia = codecs.decode_image(bytes(a)).astype(np.int64)
+                ib = codecs.decode_image(bytes(b)).astype(np.int64)
+                out["doc_id"].append(int(d))
+                out["height"].append(ia.shape[0])
+                out["width"].append(ia.shape[1])
+                out["after_height"].append(ib.shape[0])
+                out["sum_r"].append(int(ia[:, :, 0].sum()))
+                out["sum_g"].append(int(ia[:, :, 1].sum()))
+                out["sum_b"].append(int(ia[:, :, 2].sum()))
+                out["ssd_pair"].append(
+                    0 if ia.shape != ib.shape else int(((ia - ib) ** 2).sum())
+                )
+            yield pd.DataFrame(out).astype(
+                {"width": "int32", "height": "int32", "after_height": "int32"}
+            )
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(a_col).alias(a_col), F.col(b_col).alias(b_col)
+    ).mapInPandas(stats, IMG_STATS_SCHEMA)
 
 
 def sample_frames(meta: DataFrame, every_n: int = 30) -> DataFrame:

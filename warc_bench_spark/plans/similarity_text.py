@@ -1177,6 +1177,97 @@ _Q69_SQL = f"""
     """
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — the asymmetric ExactSubstr variant (flag
+# training docs sharing a verbatim run with a benchmark suite); the probe
+# "benchmark" is synthesized by construction as a token slice of every
+# 17th document, so contamination is guaranteed to exist and DuckDB
+# re-derives the identical probe corpus from the same parquet column
+# ---------------------------------------------------------------------------
+
+_Q75_BENCH_MOD = 17  # every 17th doc donates tokens 3..42 to the "benchmark"
+_Q75_SLICE = (3, 40)  # 1-based start, length — a PROPER substring probe
+
+_Q75_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ct AS (SELECT doc_id, t FROM toks WHERE len(t) >= {SPAN_K}),
+    bt AS (
+      SELECT doc_id AS bench_id,
+             t[{_Q75_SLICE[0]}:{_Q75_SLICE[0] + _Q75_SLICE[1] - 1}] AS b
+      FROM toks WHERE doc_id % {_Q75_BENCH_MOD} = 0
+        AND len(t[{_Q75_SLICE[0]}:{_Q75_SLICE[0] + _Q75_SLICE[1] - 1}]) >= {SPAN_K}),
+    cg AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+{SPAN_K - 1}], ' ') AS gram
+      FROM (SELECT doc_id, unnest(generate_series(1, len(t) - {SPAN_K} + 1)) AS i, t
+            FROM ct)),
+    bg AS (
+      SELECT bench_id, i - 1 AS bpos, array_to_string(b[i:i+{SPAN_K - 1}], ' ') AS gram
+      FROM (SELECT bench_id, unnest(generate_series(1, len(b) - {SPAN_K} + 1)) AS i, b
+            FROM bt)),
+    keep AS (
+      SELECT gram FROM (
+        SELECT gram, count(distinct doc_id) AS nd FROM cg GROUP BY gram)
+      WHERE nd <= {SPAN_GRAM_CAP}),
+    seeds AS (
+      SELECT c.doc_id, b.bench_id, c.pos, b.bpos, c.pos - b.bpos AS diag
+      FROM cg c JOIN keep USING (gram) JOIN bg b USING (gram)),
+    isl AS (
+      SELECT *, CASE WHEN pos - lag(pos) OVER w = 1 THEN 0 ELSE 1 END AS brk
+      FROM seeds WINDOW w AS (PARTITION BY doc_id, bench_id, diag ORDER BY pos)),
+    runs AS (
+      SELECT *, sum(brk) OVER (PARTITION BY doc_id, bench_id, diag ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM isl),
+    spans AS (
+      SELECT doc_id, bench_id, max(pos) + {SPAN_K} - min(pos) AS len_tokens
+      FROM runs GROUP BY doc_id, bench_id, diag, run_id
+      HAVING max(pos) + {SPAN_K} - min(pos) >= {SPAN_MIN_TOKENS})
+    SELECT doc_id,
+           CAST(count(distinct bench_id) AS BIGINT) AS n_bench_docs,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(len_tokens) AS BIGINT) AS max_run_tokens
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("q75_benchmark_decontam", _Q75_SQL)
+def q75(spark, sf_dir):
+    """Benchmark-decontamination join — the one production dedup
+    APPLICATION the family lacked (VERDICT r6 item 5): flag training
+    documents sharing a verbatim >= min_tokens token run with any
+    benchmark document (the GPT-3/PaLM appendix n-gram-overlap recipe).
+    Asymmetric reuse of the q67 machinery (operators/spans.py::
+    contaminated_docs): the PROBE side's gram table is bounded by the
+    benchmark suite's size — a structural bound, independent of corpus
+    size and duplication — so broadcasting THAT side is correct, exactly
+    where q67's span-set broadcast was the r6 scale defect. The probe
+    corpus is a by-construction token slice of every 17th document, so
+    the oracle re-derives both sides from the same parquet column and
+    value-checks seeds, islands, and the per-doc contamination report."""
+    from ..operators.spans import contaminated_docs
+
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % _Q75_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(
+            " ",
+            F.expr(f"slice(split(text, ' '), {_Q75_SLICE[0]}, {_Q75_SLICE[1]})"),
+        ).alias("text"),
+    )
+    return contaminated_docs(
+        d,
+        bench,
+        "doc_id",
+        "text",
+        "bench_id",
+        "text",
+        k=SPAN_K,
+        min_tokens=SPAN_MIN_TOKENS,
+        max_docs_per_gram=SPAN_GRAM_CAP,
+    ).orderBy("doc_id")
+
+
 @register("q69_excise_spans", _Q69_SQL)
 def q69(spark, sf_dir):
     """Span excision — turns q67's duplicate-run REPORT into the dedup
