@@ -53,3 +53,20 @@ def test_heldout_accuracy_near_perfect(spark):
     assert acc >= 0.95, acc
     # one prediction per held-out doc, every held-out doc present
     assert sorted(r["doc_id"] for r in rows) == list(range(0, 420, 7))
+
+
+def test_degenerate_test_mod_rejected(spark):
+    """r6 ADVICE: test_mod sharing a factor with len(LANGS) holds entire
+    languages out of training — must raise, not silently misclassify."""
+    import pytest
+
+    from warc_bench_spark.operators.langid import (
+        LANGS,
+        synth_labeled_corpus,
+        train_predict_langid,
+    )
+
+    docs = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    corpus = synth_labeled_corpus(docs, "doc_id", n_chars=40)
+    with pytest.raises(ValueError, match="factor"):
+        train_predict_langid(corpus, test_mod=len(LANGS))

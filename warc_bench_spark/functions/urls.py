@@ -298,16 +298,6 @@ def canonicalize_with_host_udf(urls: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"canonical_url": canon, "host": host})
 
 
-@pandas_udf(StringType())
-def host_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(lambda u: urlsplit(u).netloc if u else None)
-
-
-@pandas_udf(StringType())
-def path_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(lambda u: (urlsplit(u).path or "/") if u else None)
-
-
 def url_hash_col(canonical: Column, binary: bool = False) -> Column:
     """sha256 of the canonical URL — JVM built-in, no Python.
 

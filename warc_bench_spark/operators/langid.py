@@ -11,10 +11,11 @@ corpus — no external data, no pretrained weights, pure DataFrame algebra:
   64-slot frequency-profile strings, so DuckDB re-derives the identical
   corpus from the identical parquet column and the oracle can value-check
   the whole train→predict pipeline end-to-end.
-* **Training** = one groupBy: Laplace-smoothed log P(gram | lang) from
-  the train split's (lang, gram) counts. The model IS a DataFrame
-  (``langs x vocab`` rows) — no driver-side state, broadcast-joined into
-  scoring.
+* **Training** = one groupBy: the train split's (lang, gram) counts,
+  bounded by langs x alphabet^n (the vocabulary, never the corpus), are
+  collected once — no persist pinned for the session — and the dense
+  Laplace-smoothed log P(gram | lang) model is rebuilt as a local
+  ``langs x vocab`` DataFrame, broadcast-joined into scoring.
 * **Scoring** = explode test-doc grams, join the model, one sum per
   (doc, lang), argmax via ``row_number``. Unseen grams fall back to the
   smoothing floor via the langs-x-vocab dense matrix (a cross join of two
@@ -107,38 +108,49 @@ def _grams(corpus: DataFrame, n: int) -> DataFrame:
 
 
 def train_predict_langid(
-    corpus: DataFrame, n: int = 2, test_mod: int = 5
+    corpus: DataFrame, n: int = 2, test_mod: int = 7
 ) -> DataFrame:
     """Train on doc_id % test_mod != 0, predict the held-out fold.
 
     Returns (doc_id, true_lang, pred_lang, is_correct) for test docs.
+    ``test_mod`` must be coprime with ``len(LANGS)`` (asserted): since
+    lang = doc_id % len(LANGS), a common factor holds entire languages
+    out of the training split — the model could never predict them and
+    the balanced-folds floor argument below collapses (r6 ADVICE: the
+    old default of 5 was exactly that degenerate split).
     """
+    import math
+
+    if math.gcd(test_mod, len(LANGS)) != 1:
+        raise ValueError(
+            f"test_mod={test_mod} shares a factor with {len(LANGS)} languages; "
+            "the held-out fold would contain languages absent from training"
+        )
     grams = _grams(corpus, n)
     train = grams.filter(F.col("doc_id") % test_mod != 0)
 
-    # counts is langs x vocab rows (bounded by the alphabet, not the
-    # corpus) but its LINEAGE is the full train-gram explode+shuffle;
-    # it feeds three branches (vocab, totals, the model join), and a
-    # branched uncached DataFrame re-executes its upstream per branch —
-    # persist so the corpus-sized stage runs exactly once. The v_size
-    # count() below doubles as the materialization action.
-    counts = train.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c")).persist()
-    vocab = counts.select("gram").distinct()
-    totals = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
-    v_size = vocab.count()  # bounded by alphabet^n, not corpus size
-
-    # dense langs x vocab model: Laplace-smoothed log P(gram | lang)
-    model = (
-        totals.crossJoin(F.broadcast(vocab))
-        .join(counts, ["lang", "gram"], "left")
-        .select(
-            "lang",
-            "gram",
-            F.log(
-                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
-                / (F.col("tot") + F.lit(float(v_size)))
-            ).alias("logp"),
-        )
+    # The (lang, gram) count table is bounded by langs x alphabet^n — the
+    # vocabulary, never the corpus — so collect it once: the corpus-sized
+    # explode+shuffle runs exactly once with NO persist left pinned in a
+    # long-lived session (r6 ADVICE: bench.py times all registry queries
+    # in one SparkSession, and a leaked cached block taxes every later
+    # query). Bounded driver collects off the hot path follow the
+    # kmeans-sample precedent; the dense Laplace-smoothed model is then
+    # rebuilt as a LOCAL DataFrame, which the scoring join broadcasts.
+    rows = train.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c")).collect()
+    counts = {(r["lang"], r["gram"]): r["c"] for r in rows}
+    vocab = sorted({g for _, g in counts})
+    totals: dict[str, int] = {}
+    for (lang, _g), c in counts.items():
+        totals[lang] = totals.get(lang, 0) + c
+    v_size = float(len(vocab))
+    model = corpus.sparkSession.createDataFrame(
+        [
+            (lang, g, math.log((counts.get((lang, g), 0) + 1.0) / (tot + v_size)))
+            for lang, tot in sorted(totals.items())
+            for g in vocab
+        ],
+        "cand_lang string, gram string, logp double",
     )
 
     test = grams.filter(F.col("doc_id") % test_mod == 0).select(
@@ -152,7 +164,7 @@ def train_predict_langid(
     # hundreds-of-nats argmax margins — and the q68 oracle SQL mirrors this
     # same inner join, so both engines drop identically
     scored = (
-        test.join(F.broadcast(model.withColumnRenamed("lang", "cand_lang")), "gram")
+        test.join(F.broadcast(model), "gram")
         .groupBy("doc_id", "true_lang", "cand_lang")
         .agg(F.sum("logp").alias("score"))
     )

@@ -411,7 +411,8 @@ def _q73_sql() -> str:
     return f"""
     WITH ranked AS (
       SELECT event_type, value,
-             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value NULLS LAST) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM events)
     SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_rows,
@@ -438,7 +439,10 @@ def q73(spark, sf_dir):
     ranked = ev.select(
         "event_type",
         "value",
-        F.row_number().over(w.orderBy("value")).alias("rn"),
+        # NULLS LAST explicitly on BOTH engines (r6 ADVICE): Spark ranks
+        # ascending NULLS FIRST by default, DuckDB NULLS LAST — a NULL in
+        # events.value would silently shift every rank between them
+        F.row_number().over(w.orderBy(F.asc_nulls_last("value"))).alias("rn"),
         F.count(F.lit(1)).over(w).alias("n"),
     )
     aggs = [F.max("n").cast("long").alias("n_rows")] + [
