@@ -47,6 +47,14 @@ measurement INCLUDING around the per-query suite (r6); and if the probe
 record shows a degraded window the kernel runs ONE extra ratio sweep,
 the 5 heaviest queries get one re-draw each, and a t32-slower-than-t8
 reading triggers one extra t32 pass (all bounded, worst case ~6 min).
+Since r7 the extras are ALSO bounded by a wall-clock budget
+($SPARK_GRAFT_BENCH_BUDGET_SEC, default 1200): past it, optional
+passes are shed in execution order and stamped into the record
+(stdout `shed` + sidecar), so the worst case cannot creep into a
+driver timeout. The query-block probe band (`qprobes`) and any redraw
+outcomes (`qreruns`) now also land IN the stdout line, so the record
+of record self-adjudicates the query suite the way it already did the
+kernel and waves.
 """
 
 from __future__ import annotations
@@ -123,6 +131,28 @@ _T0 = time.perf_counter()
 
 def log(msg: str) -> None:
     print(f"[{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+# Wall-clock budget for the OPTIONAL extras (VERDICT r6 item 4): worst case
+# with every guard firing crept toward ~28 min, an operational risk against
+# a driver-side timeout that a human env var should not have to manage.
+# Mandatory measurements (the query suite, both ratio levels every sweep,
+# wave pass 1) always run; each extra checks the budget at its own phase
+# boundary and is shed — lowest-value first by execution order — once
+# elapsed time crosses the budget. Everything shed is stamped into the
+# record (stdout `shed` + sidecar), so a degraded-window run that also ran
+# long self-reports exactly which defenses it dropped.
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200"))
+SHED: list[str] = []
+
+
+def over_budget(extra: str) -> bool:
+    """True (and records the shed) if the optional `extra` must be skipped."""
+    if time.perf_counter() - _T0 > BUDGET_SEC:
+        SHED.append(extra)
+        log(f"[bench] over {BUDGET_SEC:.0f}s budget — shedding {extra}")
+        return True
+    return False
 
 
 def load_probe() -> dict:
@@ -208,6 +238,8 @@ def run_relational(
     ) or probes["start"]["loadavg_1m"] > 4.0
     if degraded:
         heavy = sorted(results, key=results.get, reverse=True)[:5]
+        if over_budget("query_redraws_beyond_top3"):
+            heavy = heavy[:3]
         log(f"[bench] degraded query-suite window — re-drawing {heavy}")
         probes["queries_redraw"] = load_probe()
         for name in heavy:
@@ -425,6 +457,8 @@ def main() -> None:
     # so the record is self-diagnosing
     wave_passes = []
     for i in range(2):
+        if i and over_budget("wave_pass_2"):
+            break
         log(f"[bench] wave loop at local[{CPUS}] (pass {i + 1}/2)")
         probes[f"wave_pass_{i + 1}"] = load_probe()
         wave_passes.append(_subprocess_measure(["--wave-worker", str(CPUS), corpus_dir]))
@@ -486,7 +520,7 @@ def main() -> None:
     degraded = (
         len(kernel_bw) >= 2 and min(kernel_bw) < 0.85 * max(kernel_bw)
     ) or probes["start"]["loadavg_1m"] > 4.0
-    if degraded and KERNEL_SWEEPS > 1:
+    if degraded and KERNEL_SWEEPS > 1 and not over_budget("extra_ratio_sweep"):
         log("[bench] degraded window in probe record — one extra ratio sweep")
         run_sweep(KERNEL_SWEEPS, ratio_levels)
     # The 16N context level runs once (sweep 1 only) — give it the same
@@ -500,7 +534,7 @@ def main() -> None:
         t32_suspect = times[CPUS] > times[CPUS_SMALL] or (
             t32_probe and kernel_bw and t32_probe < 0.85 * max(kernel_bw)
         )
-        if t32_suspect:
+        if t32_suspect and not over_budget("extra_t32_draw"):
             log(f"[bench] t{CPUS} draw suspect — one extra pass")
             probes[f"kernel_extra_c{CPUS}"] = load_probe()
             r = _subprocess_measure(
@@ -550,6 +584,8 @@ def main() -> None:
         # records; JVM/Arrow/committer pre-warm runs inside run_crawl_at)
         big_passes = []
         for i in range(2):
+            if i and over_budget("big_wave_pass_2"):
+                break
             log(f"[bench] big wave loop at local[{CPUS}] (pass {i + 1}/2)")
             probes[f"big_wave_pass_{i + 1}"] = load_probe()
             big_passes.append(
@@ -594,9 +630,31 @@ def main() -> None:
     def short(k: str) -> str:
         return k.split("_", 1)[0] if k.startswith("q") else k
 
+    # Query-suite self-adjudication IN the stdout record (VERDICT r6 item
+    # 3): the probe band around the query block and any redraw outcomes
+    # were sidecar-only, so the r6 record could not prove its own sub-3s
+    # tail inflation was ambient. `qprobes` = [min, max] memcpy GB/s over
+    # the query-block probes; `qreruns` = {qNN: [first, redraw]}.
+    qbw = [
+        p["memcpy_gbps"]
+        for k, p in probes.items()
+        if k.startswith("queries") and p.get("memcpy_gbps")
+    ]
     out = {
         "queries": {short(k): round(v, 2) for k, v in queries.items()},
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "qprobes": [min(qbw), max(qbw)] if qbw else [],
+        "qreruns": {short(k): v for k, v in query_reruns.items()},
+        # capability stamp (VERDICT r6 item 8) — which env-gated components
+        # ran: iceberg jar / PIL / video codec / cdifflib / binary-key carry
+        "caps": {
+            "ice": int(capabilities["iceberg_enabled"]),
+            "pil": int(capabilities["pil_available"]),
+            "vid": int(capabilities["video_available"]),
+            "cdiff": int(capabilities["cdifflib_available"]),
+            "bin": int(capabilities["binary_url_hash"]),
+        },
+        "shed": SHED,
         "crawl": crawl,
         "unit": "sec",
         "metric": "headline_total_sec",
@@ -616,6 +674,8 @@ def main() -> None:
                     "load_probes": probes,
                     "kernel_sweep_secs": sweep_records,
                     "query_reruns": query_reruns,
+                    "shed": SHED,
+                    "budget_sec": BUDGET_SEC,
                     "q48_value_hash": q48_hash,
                     "stdout_line_chars": len(line),
                 },
