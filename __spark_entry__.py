@@ -58,6 +58,8 @@ _DEMOTE: list[str] = [
     "q54_wacz_index",  # green r5
     "q51_bbox_iou",  # green r6 (frees a slot for q74)
     "q52_add_query_param",  # green r6 (frees a slot for q75)
+    "q49_tfidf_cosine_pairs",  # green r6 (frees a slot for q76)
+    "q50_t_confidence_interval",  # green r6 (frees a slot for q77)
 ]
 _PROMOTE: dict[str, str] = {
     # new query              -> green-row query it is inserted before
@@ -69,6 +71,8 @@ _PROMOTE: dict[str, str] = {
     "q73_exact_quantiles": "q57_robots_parse",
     "q74_image_pair_stats": "q57_robots_parse",
     "q75_benchmark_decontam": "q57_robots_parse",
+    "q76_repetition_signals": "q57_robots_parse",
+    "q77_freq_quality": "q57_robots_parse",
 }
 _order = list(REGISTRY)
 for _name in _DEMOTE:
