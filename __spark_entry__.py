@@ -60,6 +60,8 @@ _DEMOTE: list[str] = [
     "q52_add_query_param",  # green r6 (frees a slot for q75)
     "q49_tfidf_cosine_pairs",  # green r6 (frees a slot for q76)
     "q50_t_confidence_interval",  # green r6 (frees a slot for q77)
+    "q53_tfidf_neardup_filter",  # green r6 (frees a slot for q78)
+    "q63_seqmatch_ratio_exact",  # green r6 (frees a slot for q79)
 ]
 _PROMOTE: dict[str, str] = {
     # new query              -> green-row query it is inserted before
@@ -73,6 +75,8 @@ _PROMOTE: dict[str, str] = {
     "q75_benchmark_decontam": "q57_robots_parse",
     "q76_repetition_signals": "q57_robots_parse",
     "q77_freq_quality": "q57_robots_parse",
+    "q78_pii_redaction": "q57_robots_parse",
+    "q79_pretokenizer_counts": "q57_robots_parse",
 }
 _order = list(REGISTRY)
 for _name in _DEMOTE:

@@ -648,3 +648,147 @@ def q77(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + regex pre-tokenization — the remaining text-pipeline ops
+# a production training-data run performs before tokenizer training.
+# ---------------------------------------------------------------------------
+
+# PII is INJECTED by construction (the q66/q74 pattern — the synthetic
+# corpus contains none), from doc_id arithmetic identical on both engines,
+# so the redaction really fires and the value hash checks real work.
+_Q78_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                      || CAST((doc_id * 7) % 256 AS VARCHAR)
+                 ELSE '' END AS t
+  FROM documents),
+red AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b', 0)) AS BIGINT) AS n_ips,
+         regexp_replace(
+           regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS clean
+  FROM aug)
+SELECT doc_id, n_emails, n_ips,
+       sha256(clean) AS clean_fp,
+       CAST(len(clean) AS BIGINT) AS clean_chars
+FROM red ORDER BY doc_id
+"""
+
+
+@register("q78_pii_redaction", _Q78_SQL)
+def q78(spark, sf_dir):
+    """PII scrubbing: detect and redact email addresses and IPv4 literals,
+    emitting per-doc match counts plus a digest of the redacted text (the
+    digest proves the REPLACEMENT is byte-identical across engines, not
+    just the counts). Patterns avoid lookahead/backreferences so Java
+    regex (Spark) and RE2 (DuckDB) agree. The PII is injected from doc_id
+    arithmetic because the synthetic corpus contains none — the oracle
+    injects identically, so a redactor that missed real matches would
+    hash-mismatch. Scale shape: pure per-row JVM string work, no shuffle
+    until the final presentation sort; at 100 TB this is a map-only stage
+    that rides whatever partitioning the scan gives."""
+    d = t(spark, sf_dir, "documents")
+    email_re = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip_re = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("t", email_re, "<EMAIL>"), ip_re, "<IP>"
+    )
+    # r'...' raw literals: a plain Spark SQL string literal would eat the
+    # regex backslashes ('\b' -> backspace); DuckDB literals keep them as-is
+    return aug.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(t, r'{email_re}', 0)")).cast("long").alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(t, r'{ip_re}', 0)")).cast("long").alias("n_ips"),
+        F.sha2(clean, 256).alias("clean_fp"),
+        F.length(clean).cast("long").alias("clean_chars"),
+    ).orderBy("doc_id")
+
+
+# Digits/punctuation are injected from doc_id (the corpus is pure words,
+# which would leave n_number/n_punct degenerately zero).
+_Q79_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' v' || CAST(doc_id AS VARCHAR) || '.'
+              || CAST(doc_id % 7 AS VARCHAR) || '-rc!' AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '\p{L}+', 0)) AS BIGINT) AS n_word,
+       CAST(len(regexp_extract_all(t, '[0-9]+', 0)) AS BIGINT) AS n_number,
+       CAST(len(regexp_extract_all(t, '[^\p{L}0-9\s]+', 0)) AS BIGINT) AS n_punct,
+       CAST(len(regexp_extract_all(t, '\p{L}+|[0-9]+|[^\p{L}0-9\s]+', 0)) AS BIGINT) AS n_tokens
+FROM aug ORDER BY doc_id
+"""
+
+
+@register("q79_pretokenizer_counts", _Q79_SQL)
+def q79(spark, sf_dir):
+    """Regex pre-tokenizer statistics — the GPT-2-style class split
+    (letter runs | digit runs | punctuation runs) used to estimate token
+    budgets before tokenizer training. The real GPT-2 pattern needs
+    lookahead, which RE2 (DuckDB) lacks, so the class-run form is used —
+    same run boundaries on ASCII text. \\p{L} and \\s parse identically
+    in Java regex and RE2 (POSIX [[:alpha:]] classes would NOT — Java
+    rejects them). Digit/punct material is injected from doc_id since
+    the synthetic corpus is pure words. Map-only per-row JVM work; the
+    alternation is one scan pass per row."""
+    d = t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" v"),
+            F.col("doc_id").cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("-rc!"),
+        ).alias("tx"),
+    )
+
+    def n(pat, alias):
+        return (
+            F.size(F.expr(f"regexp_extract_all(tx, r'{pat}', 0)"))
+            .cast("long")
+            .alias(alias)
+        )
+
+    return aug.select(
+        "doc_id",
+        n(r"\p{L}+", "n_word"),
+        n("[0-9]+", "n_number"),
+        n(r"[^\p{L}0-9\s]+", "n_punct"),
+        n(r"\p{L}+|[0-9]+|[^\p{L}0-9\s]+", "n_tokens"),
+    ).orderBy("doc_id")
