@@ -62,6 +62,8 @@ _DEMOTE: list[str] = [
     "q50_t_confidence_interval",  # green r6 (frees a slot for q77)
     "q53_tfidf_neardup_filter",  # green r6 (frees a slot for q78)
     "q63_seqmatch_ratio_exact",  # green r6 (frees a slot for q79)
+    "q22_minhash_signatures",  # green r6 (frees a slot for q80)
+    "q23_shingle_minhash",  # green r6 (frees a slot for q81)
 ]
 _PROMOTE: dict[str, str] = {
     # new query              -> green-row query it is inserted before
@@ -77,6 +79,8 @@ _PROMOTE: dict[str, str] = {
     "q77_freq_quality": "q57_robots_parse",
     "q78_pii_redaction": "q57_robots_parse",
     "q79_pretokenizer_counts": "q57_robots_parse",
+    "q80_pagerank_scaled": "q57_robots_parse",
+    "q81_hll_registers": "q57_robots_parse",
 }
 _order = list(REGISTRY)
 for _name in _DEMOTE:

@@ -792,3 +792,192 @@ def q79(spark, sf_dir):
         n(r"[^\p{L}0-9\s]+", "n_punct"),
         n(r"\p{L}+|[0-9]+|[^\p{L}0-9\s]+", "n_tokens"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Link-graph authority scoring + cardinality sketching — the frontier-
+# prioritization and distinct-counting ops a crawl/training pipeline runs
+# at corpus scale.
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000_000  # rank fixed-point scale (10^12)
+_PR_TELEPORT = 150_000_000_000  # floor(0.15 * scale)
+_PR_ITERS = 4
+
+
+def _q80_sql() -> str:
+    it = """
+r{k} AS (
+  SELECT nodes.v,
+         (85 * CAST(COALESCE(s.c, 0) AS BIGINT)) // 100 + {tp} AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.v, SUM(r{p}.r // e.outdeg) AS c
+    FROM edges e JOIN r{p} ON r{p}.v = e.u GROUP BY e.v) s ON s.v = nodes.v)"""
+    its = ",".join(
+        it.format(k=k, p=k - 1, tp=_PR_TELEPORT) for k in range(1, _PR_ITERS + 1)
+    )
+    return f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+nodes AS (SELECT doc_id AS v FROM documents),
+edges AS (
+  SELECT d.doc_id AS u, (1 + d.doc_id % 3) AS outdeg,
+         (d.doc_id * p.a + p.j) % nn.n AS v
+  FROM documents d, nn, (VALUES (7, 0), (13, 1), (31, 2)) AS p(a, j)
+  WHERE p.j <= d.doc_id % 3),
+r0 AS (SELECT v, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes),{its}
+SELECT v AS doc_id, r AS rank_scaled
+FROM r{_PR_ITERS} ORDER BY rank_scaled DESC, doc_id LIMIT 100
+"""
+
+
+@register("q80_pagerank_scaled", _q80_sql())
+def q80(spark, sf_dir):
+    """PageRank over a by-construction link graph (edge targets from
+    doc_id arithmetic — the corpus carries no links), in FIXED-POINT
+    integer arithmetic: ranks are BIGINTs scaled by 10^12, each edge
+    contributes rank div outdeg, and the damping step is (85*sum) div
+    100 + floor(0.15*scale) — integer sums are order-invariant, so no
+    float accumulation can diverge between engines or between partition
+    orders. Every node has outdeg >= 1 by construction (no dangling-mass
+    term). The 4 iterations are unrolled into the plan (each round is
+    one equi-join keyed on the source + one groupBy keyed on the target
+    — the standard distributed PageRank shuffle pair); at 100 TB each
+    round's rank vector would be persisted/checkpointed between rounds
+    exactly as operators/components.py does for label propagation — here
+    each intermediate is referenced once, so the linear chain needs no
+    cache. The crawl use: URL authority as a frontier priority signal."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # one-row aggregate: the broadcast is structurally bounded (q75 pattern)
+    edges = (
+        docs.crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("doc_id").alias("u"),
+            (1 + F.col("doc_id") % 3).cast("long").alias("outdeg"),
+            "n",
+            F.explode(
+                F.expr(
+                    "filter(array(struct(7L AS a, 0L AS j), struct(13L AS a, 1L AS j),"
+                    " struct(31L AS a, 2L AS j)), s -> s.j <= doc_id % 3)"
+                )
+            ).alias("p"),
+        )
+        .select(
+            "u",
+            "outdeg",
+            ((F.col("u") * F.col("p.a") + F.col("p.j")) % F.col("n")).alias("v"),
+        )
+    )
+    nodes = docs.select(F.col("doc_id").alias("v"))
+    ranks = nodes.select("v", F.lit(_PR_SCALE).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("v", "u"), "u")
+            .groupBy("v")
+            .agg(F.sum(F.expr("r div outdeg")).alias("c"))
+        )
+        ranks = nodes.join(contrib, "v", "left").select(
+            "v",
+            F.expr(f"(85 * coalesce(c, 0L)) div 100 + {_PR_TELEPORT}").alias("r"),
+        )
+    return (
+        ranks.select(F.col("v").alias("doc_id"), F.col("r").alias("rank_scaled"))
+        .orderBy(F.desc("rank_scaled"), "doc_id")
+        .limit(100)
+    )
+
+
+# HLL with m=16 registers (bucket = first hex nibble of sha256) and a
+# 48-bit rank stream (next 12 hex chars): rank <= 49, so
+# sum_pow = SUM(2^(49-reg)) <= 16*2^49 = 2^53 — still exactly
+# representable in an IEEE double, which makes the one float division in
+# the estimate bit-identical across engines.
+_Q81_SQL = """
+WITH hashes AS (
+  SELECT DISTINCT sha256(CAST(user_id AS VARCHAR)) AS h FROM events),
+ranked AS (
+  SELECT substr(h, 1, 1) AS bucket,
+         4 * len(regexp_extract(substr(h, 2, 12), '^0*', 0))
+         + CASE substr(substr(h, 2, 12), len(regexp_extract(substr(h, 2, 12), '^0*', 0)) + 1, 1)
+             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+             ELSE 0 END
+         + 1 AS rank
+  FROM hashes),
+regs AS (
+  SELECT printf('%x', i) AS bucket, CAST(COALESCE(mx, 0) AS BIGINT) AS register
+  FROM generate_series(0, 15) AS t(i)
+  LEFT JOIN (SELECT bucket, MAX(rank) AS mx FROM ranked GROUP BY bucket) r
+    ON r.bucket = printf('%x', i)),
+summary AS (
+  SELECT CAST(SUM(CAST(2 AS BIGINT) ** (49 - register)) AS BIGINT) AS sum_pow FROM regs),
+exact AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct FROM events)
+SELECT regs.bucket, regs.register, summary.sum_pow,
+       CAST(floor(CAST(0.673 AS DOUBLE) * CAST(256 AS DOUBLE) * CAST(562949953421312 AS DOUBLE)
+                  / CAST(summary.sum_pow AS DOUBLE)) AS BIGINT) AS hll_est,
+       exact.exact_distinct
+FROM regs, summary, exact
+ORDER BY regs.bucket
+"""
+
+
+@register("q81_hll_registers", _Q81_SQL)
+def q81(spark, sf_dir):
+    """From-scratch HyperLogLog: sha256-keyed register construction as
+    pure DataFrame algebra. The leading-zero rank is computed ON THE HEX
+    STRING (4 bits per leading '0' char + a nibble CASE for the first
+    non-zero char) so no hex->int conversion is needed — the exact trick
+    that keeps both engines identical. Registers are the distributed
+    sketch state (a groupBy MAX — mergeable, the whole point of HLL at
+    100 TB: map-side partial MAX per bucket, 16..2^14 rows total
+    regardless of input size). The estimate's single float division has
+    both operands exactly double-representable (sum_pow <= 2^53), and
+    the small-range linear-counting correction is deliberately omitted —
+    it needs ln(), and libm transcendentals are NOT bit-portable across
+    engines. exact_distinct rides along as the accuracy reference.
+    2^49 = 562949953421312 appears as a literal so neither engine's
+    integer-power semantics enter the hash."""
+    ev = t(spark, sf_dir, "events")
+    hashes = ev.select(
+        F.sha2(F.col("user_id").cast("string"), 256).alias("h")
+    ).distinct()
+    rest = F.substring("h", 2, 12)
+    zeros = F.length(F.regexp_extract(rest, "^0*", 0))
+    first = F.expr("substring(substring(h, 2, 12), length(regexp_extract(substring(h, 2, 12), '^0*', 0)) + 1, 1)")
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    ranked = hashes.select(
+        F.substring("h", 1, 1).alias("bucket"),
+        (4 * zeros + extra + 1).alias("rank"),
+    )
+    maxes = ranked.groupBy("bucket").agg(F.max("rank").alias("mx"))
+    buckets = spark.range(16).select(F.format_string("%x", F.col("id").cast("int")).alias("bucket"))
+    regs = buckets.join(maxes, "bucket", "left").select(
+        "bucket", F.coalesce("mx", F.lit(0)).cast("long").alias("register")
+    )
+    summary = regs.agg(
+        F.sum(F.expr("CAST(pow(2, 49 - register) AS BIGINT)")).cast("long").alias("sum_pow")
+    )
+    exact = ev.agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    return (
+        regs.crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "bucket",
+            "register",
+            "sum_pow",
+            F.floor(
+                F.lit(0.673) * F.lit(256) * F.lit(562949953421312.0)
+                / F.col("sum_pow").cast("double")
+            )
+            .cast("long")
+            .alias("hll_est"),
+            "exact_distinct",
+        )
+        .orderBy("bucket")
+    )
