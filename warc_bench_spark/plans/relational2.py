@@ -868,6 +868,10 @@ def q80(spark, sf_dir):
             ((F.col("u") * F.col("p.a") + F.col("p.j")) % F.col("n")).alias("v"),
         )
     )
+    # the edge list is referenced by every iteration; a lazy localCheckpoint
+    # makes all 4 subtrees share ONE concrete RDD stage (components.py's
+    # iterative-plan treatment) instead of re-deriving scan+explode per round
+    edges = edges.localCheckpoint(eager=False)
     nodes = docs.select(F.col("doc_id").alias("v"))
     ranks = nodes.select("v", F.lit(_PR_SCALE).cast("long").alias("r"))
     for _ in range(_PR_ITERS):
