@@ -64,6 +64,8 @@ _DEMOTE: list[str] = [
     "q63_seqmatch_ratio_exact",  # green r6 (frees a slot for q79)
     "q22_minhash_signatures",  # green r6 (frees a slot for q80)
     "q23_shingle_minhash",  # green r6 (frees a slot for q81)
+    "q25_token_jaccard_pairs",  # green r6 (frees a slot for q82)
+    "q26_simhash",  # green r6 (frees a slot for q83)
 ]
 _PROMOTE: dict[str, str] = {
     # new query              -> green-row query it is inserted before
@@ -81,6 +83,8 @@ _PROMOTE: dict[str, str] = {
     "q79_pretokenizer_counts": "q57_robots_parse",
     "q80_pagerank_scaled": "q57_robots_parse",
     "q81_hll_registers": "q57_robots_parse",
+    "q82_scd2_intervals": "q57_robots_parse",
+    "q83_inverted_index": "q57_robots_parse",
 }
 _order = list(REGISTRY)
 for _name in _DEMOTE:

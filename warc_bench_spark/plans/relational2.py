@@ -985,3 +985,116 @@ def q81(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal dimension modeling + index construction
+# ---------------------------------------------------------------------------
+
+_Q82_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS its
+  FROM events WHERE user_id % 25 = 0),
+vers AS (
+  SELECT user_id,
+         row_number() OVER w AS version,
+         event_type AS state,
+         its AS valid_from_us,
+         lead(its) OVER w AS valid_to_us
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY its, event_id))
+SELECT user_id, version, state, valid_from_us,
+       COALESCE(valid_to_us, CAST(253402300799000000 AS BIGINT)) AS valid_to_us,
+       CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
+FROM vers ORDER BY user_id, version
+"""
+
+
+@register("q82_scd2_intervals", _Q82_SQL)
+def q82(spark, sf_dir):
+    """Slowly-changing-dimension (SCD2) interval build: turn a change
+    stream into versioned validity intervals [valid_from, valid_to) with
+    one window pass per key — row_number for the version, lead(ts) to
+    close each interval, a NULL lead marking the current row (closed
+    with the 9999-12-31 sentinel so both engines emit identical BIGINTs).
+    Timestamps are exact integer microseconds (unix_micros / epoch_us —
+    the q65/q70 rule: DuckDB epoch() is DOUBLE and would round). Equal-ts
+    ties break on event_id, making the version order a deterministic
+    total order. Scale shape: one exchange keyed on user_id, then a
+    per-key sort — the canonical distributed CDC-to-warehouse transform;
+    no self-join (the naive formulation) and nothing corpus-global."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 25 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("its"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("its", "event_id")
+    vers = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.col("event_type").alias("state"),
+        F.col("its").alias("valid_from_us"),
+        F.lead("its").over(w).alias("valid_to_us_raw"),
+    )
+    return vers.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from_us",
+        F.coalesce("valid_to_us_raw", F.lit(253402300799000000).cast("long")).alias(
+            "valid_to_us"
+        ),
+        F.when(F.col("valid_to_us_raw").isNull(), 1).otherwise(0).alias("is_current"),
+    ).orderBy("user_id", "version")
+
+
+_Q83_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+pl AS (
+  SELECT token,
+         CAST(COUNT(*) AS BIGINT) AS doc_freq,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+  FROM pairs WHERE token <> '' GROUP BY token)
+SELECT token, doc_freq, postings FROM pl
+WHERE doc_freq >= 2 ORDER BY doc_freq DESC, token LIMIT 100
+"""
+
+
+@register("q83_inverted_index", _Q83_SQL)
+def q83(spark, sf_dir):
+    """Inverted-index construction: token -> sorted posting list of the
+    documents containing it, plus document frequency — the IR/search
+    primitive (and the BM25/dedup-blocking precursor). The posting list
+    is emitted as a comma-joined SORTED string so the value hash is
+    order-invariant even though collect_set's accumulation order is not
+    (sort_array + array_join on Spark, string_agg ... ORDER BY on
+    DuckDB). Scale shape: one distinct + one groupBy, both keyed on
+    token; posting lists for stop-like tokens grow with the corpus, so a
+    production index would shard long lists (the q67 stop-gram cap
+    pattern) — here the LIMIT keeps the driver row set bounded while the
+    aggregation itself stays unbounded and distributed."""
+    d = t(spark, sf_dir, "documents")
+    pairs = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.expr(
+                "array_join(transform(sort_array(collect_set(doc_id)),"
+                " x -> cast(x AS string)), ',')"
+            ).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= 2)
+        .orderBy(F.desc("doc_freq"), "token")
+        .limit(100)
+    )
