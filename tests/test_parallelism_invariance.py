@@ -109,9 +109,12 @@ def test_grouped_and_iterative_queries_parallelism_invariant(spark):
     """The riskiest operator shapes for partitioning-dependence — q53's
     per-group applyInPandas greedy filter, q64's iterative min-label
     propagation, q67's per-diagonal island windows (seed rows arrive from
-    a shuffled equi-join) and q69's broadcast excision over q67's output —
-    must return identical rows at local[2] (fresh process, 2 shuffle
-    partitions) and the in-session local[8]."""
+    a shuffled equi-join), q69's broadcast excision over q67's output,
+    q80's unrolled PageRank over a localCheckpointed edge RDD (checkpoint
+    partitioning differs with parallelism) and q83's collect_set posting
+    lists (accumulation order differs per partitioning; sort_array must
+    erase it) — must return identical rows at local[2] (fresh process, 2
+    shuffle partitions) and the in-session local[8]."""
     import __spark_entry__ as e
 
     sf_dir = "/root/testdata/sf0.001"
@@ -120,6 +123,8 @@ def test_grouped_and_iterative_queries_parallelism_invariant(spark):
         "q64_dedup_components",
         "q67_duplicate_spans",
         "q69_excise_spans",
+        "q80_pagerank_scaled",
+        "q83_inverted_index",
     ):
         rows8 = [
             [None if v is None else str(v) for v in r]
