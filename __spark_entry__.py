@@ -66,6 +66,8 @@ _DEMOTE: list[str] = [
     "q23_shingle_minhash",  # green r6 (frees a slot for q81)
     "q25_token_jaccard_pairs",  # green r6 (frees a slot for q82)
     "q26_simhash",  # green r6 (frees a slot for q83)
+    "q24_lsh_candidate_pairs",  # green r6 (frees a slot for q84)
+    "q27_embedding_knn",  # green r6 (frees a slot for q85)
 ]
 _PROMOTE: dict[str, str] = {
     # new query              -> green-row query it is inserted before
@@ -85,6 +87,8 @@ _PROMOTE: dict[str, str] = {
     "q81_hll_registers": "q57_robots_parse",
     "q82_scd2_intervals": "q57_robots_parse",
     "q83_inverted_index": "q57_robots_parse",
+    "q84_countmin_sketch": "q57_robots_parse",
+    "q85_retention_cohorts": "q57_robots_parse",
 }
 _order = list(REGISTRY)
 for _name in _DEMOTE:

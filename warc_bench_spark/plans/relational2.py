@@ -1098,3 +1098,136 @@ def q83(spark, sf_dir):
         .orderBy(F.desc("doc_freq"), "token")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequency-estimation sketch + cohort analytics
+# ---------------------------------------------------------------------------
+
+# Count-Min with d=4 rows and w=256 buckets, where the bucket KEY is the
+# first two hex chars of sha256('cm{i}:' || token) — a string key, so like
+# q81 no hex->int conversion exists anywhere. The estimate is the MIN over
+# rows of the probed counters (classic CM upper bound: estimate >= truth).
+_Q84_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tk AS (SELECT token FROM toks WHERE token <> ''),
+rows_ AS (SELECT unnest(generate_series(0, 3)) AS i),
+counters AS (
+  SELECT i, substr(sha256('cm' || CAST(i AS VARCHAR) || ':' || token), 1, 2) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tk, rows_ GROUP BY 1, 2),
+probes AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM tk GROUP BY token ORDER BY token LIMIT 10),
+est AS (
+  SELECT p.token, p.true_count,
+         CAST(MIN(c.cnt) AS BIGINT) AS cm_estimate
+  FROM probes p CROSS JOIN rows_ r JOIN counters c ON c.i = r.i
+  WHERE c.bucket = substr(sha256('cm' || CAST(r.i AS VARCHAR) || ':' || p.token), 1, 2)
+  GROUP BY p.token, p.true_count)
+SELECT token, true_count, cm_estimate,
+       CASE WHEN cm_estimate >= true_count THEN 1 ELSE 0 END AS bound_holds
+FROM est ORDER BY token
+"""
+
+
+@register("q84_countmin_sketch", _Q84_SQL)
+def q84(spark, sf_dir):
+    """Count-Min sketch: token-frequency estimation with a mergeable
+    d x w counter table (d=4 hash rows, w=256 buckets keyed by the first
+    two sha256 hex chars — string buckets, so no hex->int conversion,
+    the q81 trick). The counter build is one groupBy on (row, bucket) —
+    map-side partial sums, 1024 output rows REGARDLESS of corpus size,
+    which is the whole point of the sketch at 100 TB. Probes are the 10
+    lexicographically-smallest tokens; the estimate is MIN over rows of
+    the probed counters and bound_holds asserts the CM guarantee
+    (estimate >= truth) inside the hashed values themselves."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    rows = spark.range(4).select(F.col("id").cast("int").alias("i"))
+    bucket = F.substring(
+        F.sha2(F.concat(F.lit("cm"), F.col("i").cast("string"), F.lit(":"), F.col("token")), 256),
+        1,
+        2,
+    )
+    counters = (
+        tk.crossJoin(F.broadcast(rows))
+        .select("i", bucket.alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        tk.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy("token")
+        .limit(10)
+    )
+    probed = probes.crossJoin(F.broadcast(rows)).select(
+        "token", "true_count", "i", bucket.alias("bucket")
+    )
+    est = (
+        probed.join(counters, ["i", "bucket"])
+        .groupBy("token", "true_count")
+        .agg(F.min("cnt").cast("long").alias("cm_estimate"))
+    )
+    return est.select(
+        "token",
+        F.col("true_count").cast("long").alias("true_count"),
+        "cm_estimate",
+        F.when(F.col("cm_estimate") >= F.col("true_count"), 1).otherwise(0).alias("bound_holds"),
+    ).orderBy("token")
+
+
+# Day numbers are integer floor-divisions of the exact microsecond epoch
+# (its // 86400000000) — no date/tz function from either engine enters the
+# hash (the q65/q70 timestamp rule extended to calendar arithmetic).
+_Q85_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+firsts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day // 7 AS cohort_week,
+         (e.day - f.cohort_day) // 7 AS week_offset
+  FROM ev e JOIN firsts f USING (user_id))
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register("q85_retention_cohorts", _Q85_SQL)
+def q85(spark, sf_dir):
+    """Retention-cohort rollup: users bucketed by first-seen week, counted
+    per week offset since their cohort — the standard product-analytics
+    triangle. Day/week numbers are integer floor-divisions of the exact
+    microsecond epoch, so no date_trunc/timezone semantics from either
+    engine can diverge. Scale shape: one groupBy for first-seen, one
+    distinct on (user, cohort_week, offset), one count rollup — all keyed
+    on user_id or the (small) cohort grid; the firsts join is an
+    equi-join AQE can broadcast when the user dimension is small and
+    shuffle when it is not."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts AS timestamp)) div 86400000000").alias("day"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            F.expr("cohort_day div 7").alias("cohort_week"),
+            F.expr("(day - cohort_day) div 7").alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
