@@ -68,6 +68,8 @@ _DEMOTE: list[str] = [
     "q26_simhash",  # green r6 (frees a slot for q83)
     "q24_lsh_candidate_pairs",  # green r6 (frees a slot for q84)
     "q27_embedding_knn",  # green r6 (frees a slot for q85)
+    "q28_embedding_norms_by_label",  # green r6 (frees a slot for q86)
+    "q29_lang_id_heuristic",  # green r6 (frees a slot for q87)
 ]
 _PROMOTE: dict[str, str] = {
     # new query              -> green-row query it is inserted before
@@ -89,6 +91,8 @@ _PROMOTE: dict[str, str] = {
     "q83_inverted_index": "q57_robots_parse",
     "q84_countmin_sketch": "q57_robots_parse",
     "q85_retention_cohorts": "q57_robots_parse",
+    "q86_triangle_count": "q57_robots_parse",
+    "q87_funnel_conversion": "q57_robots_parse",
 }
 _order = list(REGISTRY)
 for _name in _DEMOTE:

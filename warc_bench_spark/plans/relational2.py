@@ -1231,3 +1231,191 @@ def q85(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: triangle counting with degree-ordered orientation
+# ---------------------------------------------------------------------------
+
+# Same by-construction link graph as q80 (doc_id arithmetic), symmetrized
+# and deduplicated to an undirected simple graph (self-loops dropped).
+_Q86_SQL = """
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+raw AS (
+  SELECT d.doc_id AS a, (d.doc_id * p.x + p.j) % nn.n AS b
+  FROM documents d, nn, (VALUES (7, 0), (13, 1), (31, 2)) AS p(x, j)
+  WHERE p.j <= d.doc_id % 3),
+und AS (
+  SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+  FROM raw WHERE a <> b),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT lo AS v FROM und UNION ALL SELECT hi AS v FROM und)
+  GROUP BY v),
+keyed AS (
+  SELECT u.lo, u.hi,
+         dl.d * (SELECT n FROM nn) + u.lo AS klo,
+         dh.d * (SELECT n FROM nn) + u.hi AS khi
+  FROM und u JOIN deg dl ON dl.v = u.lo JOIN deg dh ON dh.v = u.hi),
+oriented AS (
+  SELECT CASE WHEN klo < khi THEN lo ELSE hi END AS s,
+         CASE WHEN klo < khi THEN hi ELSE lo END AS t,
+         CASE WHEN klo < khi THEN khi ELSE klo END AS kt
+  FROM keyed),
+wedges AS (
+  SELECT e1.t AS b, e2.t AS c
+  FROM oriented e1 JOIN oriented e2 ON e1.s = e2.s AND e1.kt < e2.kt)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices
+FROM wedges w
+JOIN oriented e3 ON e3.s = w.b AND e3.t = w.c
+"""
+
+
+@register("q86_triangle_count", _Q86_SQL)
+def q86(spark, sf_dir):
+    """Distributed triangle counting with DEGREE-ORDERED orientation (the
+    Suri & Vassilvitskii / Cohen MapReduce formulation): every undirected
+    edge points from its lower-(degree, id) endpoint to the higher, so
+    each triangle is counted exactly once at its lowest-ordered vertex
+    and — the scale property — wedge fan-out at a vertex is bounded by
+    its ORIENTED out-degree, O(sqrt(|E|)) for any graph, instead of the
+    raw degree that makes naive wedge joins quadratic on power-law hubs.
+    The order key packs (degree, id) into one BIGINT (deg * n + id, id <
+    n by construction). Plan: symmetrize+distinct, degree groupBy, two
+    equi-joins (wedge build on the shared source, closure probe on the
+    wedge tips) — every stage keyed, nothing all-pairs. Same
+    by-construction graph as q80."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    raw = (
+        docs.crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("doc_id").alias("a"),
+            "n",
+            F.explode(
+                F.expr(
+                    "filter(array(struct(7L AS x, 0L AS j), struct(13L AS x, 1L AS j),"
+                    " struct(31L AS x, 2L AS j)), s -> s.j <= doc_id % 3)"
+                )
+            ).alias("p"),
+        )
+        .select("a", "n", ((F.col("a") * F.col("p.x") + F.col("p.j")) % F.col("n")).alias("b"))
+    )
+    und = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"),
+            F.greatest("a", "b").alias("hi"),
+            "n",
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("v"))
+        .unionAll(und.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = (
+        und.join(deg.withColumnRenamed("v", "lo").withColumnRenamed("d", "dlo"), "lo")
+        .join(deg.withColumnRenamed("v", "hi").withColumnRenamed("d", "dhi"), "hi")
+        .select(
+            "lo",
+            "hi",
+            (F.col("dlo") * F.col("n") + F.col("lo")).alias("klo"),
+            (F.col("dhi") * F.col("n") + F.col("hi")).alias("khi"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("klo") < F.col("khi"), F.col("lo")).otherwise(F.col("hi")).alias("s"),
+        F.when(F.col("klo") < F.col("khi"), F.col("hi")).otherwise(F.col("lo")).alias("t"),
+        F.greatest("klo", "khi").alias("kt"),
+    )
+    e1 = oriented.select(F.col("s").alias("s1"), F.col("t").alias("b"), F.col("kt").alias("k1"))
+    e2 = oriented.select(F.col("s").alias("s2"), F.col("t").alias("c"), F.col("kt").alias("k2"))
+    wedges = e1.join(e2, (F.col("s1") == F.col("s2")) & (F.col("k1") < F.col("k2"))).select(
+        "b", "c"
+    )
+    closure = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedges.join(closure, ["b", "c"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_vertices = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    return tri.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_vertices))
+
+
+_Q87_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS its FROM events),
+s1 AS (
+  SELECT user_id, MIN(its) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.its) AS t2
+  FROM ev e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.its > s1.t1
+    AND e.its <= s1.t1 + 21600000000 GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.its) AS t3
+  FROM ev e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.its > s2.t2
+    AND e.its <= s2.t2 + 21600000000 GROUP BY e.user_id)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_step1,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_step2,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_step3,
+       CAST((10000 * (SELECT COUNT(*) FROM s2)) // (SELECT COUNT(*) FROM s1) AS BIGINT) AS conv_12_bps,
+       CAST((10000 * (SELECT COUNT(*) FROM s3)) // (SELECT COUNT(*) FROM s2) AS BIGINT) AS conv_23_bps
+"""
+
+
+@register("q87_funnel_conversion", _Q87_SQL)
+def q87(spark, sf_dir):
+    """Ordered-step funnel (view -> click -> purchase): a user completes
+    step k only with an event STRICTLY AFTER their step-(k-1) time AND
+    within a 6-hour attribution window (21600000000 us) — the
+    product-analytics semantics that a naive per-type count gets wrong,
+    and the window is what makes drop-off real on a dense corpus.
+    Each step is one filtered min-aggregate plus an equi-join on user_id
+    (never a window over the whole event stream, never a self-join on
+    raw events). Conversion rates as integer basis points (BIGINT floor
+    division). Timestamps exact integer µs (the q65/q70 rule). Scale
+    shape: per-step state is one row per surviving user, monotonically
+    shrinking down the funnel."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("its"),
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("its").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("its") > F.col("t1")) & (F.col("its") <= F.col("t1") + 21600000000))
+        .groupBy("user_id")
+        .agg(F.min("its").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("its") > F.col("t2")) & (F.col("its") <= F.col("t2") + 21600000000))
+        .groupBy("user_id")
+        .agg(F.min("its").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_step1"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_step2"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_step3"))
+    return (
+        c1.crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .select(
+            "n_step1",
+            "n_step2",
+            "n_step3",
+            F.expr("(10000 * n_step2) div n_step1").alias("conv_12_bps"),
+            F.expr("(10000 * n_step3) div n_step2").alias("conv_23_bps"),
+        )
+    )
