@@ -126,6 +126,10 @@ def train_predict_langid(
             f"test_mod={test_mod} shares a factor with {len(LANGS)} languages; "
             "the held-out fold would contain languages absent from training"
         )
+    # train and test branches both explode the corpus; materialize it once
+    # so the (synthesized or scanned) text column is not recomputed per
+    # branch (r8, guide §5 — corpus rows are narrow, the explode is not)
+    corpus = corpus.localCheckpoint()
     grams = _grams(corpus, n)
     train = grams.filter(F.col("doc_id") % test_mod != 0)
 

@@ -482,8 +482,12 @@ def synth_image_pair_bytes(
                 enc_b = codecs.encode_ppm if d % 2 == 0 else codecs.encode_bmp
                 befores.append(enc_a(img_a))
                 afters.append(enc_b(img_b))
+            # ids as a plain array: mixing an index-carrying Series with
+            # positional lists would silently misalign on a non-default
+            # index (r7 ADVICE; Arrow batches carry a RangeIndex today,
+            # but the contract should not depend on it)
             yield pd.DataFrame(
-                {"doc_id": ids, "before": befores, "after": afters}
+                {"doc_id": ids.to_numpy(), "before": befores, "after": afters}
             )
 
     return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(

@@ -281,27 +281,39 @@ def banded_candidate_pairs(
     docs) would make its bucket's self-join quadratic; buckets larger than
     ``max_bucket_size`` are dropped from candidate generation — the
     standard LSH-dedup heuristic (such clusters are found by the exact
-    digest pass instead). The bucket histogram is an UNORDERED window
-    count over the band key (no sort, unbounded frame), not a separate
-    groupBy + join: that would re-evaluate the whole signature pipeline a
-    third time (the self-join already reads it twice), and the window's
-    exchange hash-partitions on the same band key the join needs anyway.
-    """
-    bounded = (
-        sig.withColumn(
-            "_bn", F.count(F.lit(1)).over(Window.partitionBy(*band_cols))
-        )
-        .filter(F.col("_bn") <= max_bucket_size)
-        .drop("_bn")
+    digest pass instead).
+
+    r8 shape (guide §2.4 "remove shuffles outright" + §5, the q71 plan
+    discipline): the previous band SELF-JOIN evaluated the ``sig``
+    pipeline twice — and upstream ``sig`` is the expensive part (the
+    minhash stage hashes every shingle 4x) — and shuffled both copies
+    plus a window count for the cap on each side. Now ``sig`` is
+    materialized once (localCheckpoint); the cap is a partially-
+    aggregable COUNT (map-side combine drops a degenerate boilerplate
+    bucket without ever concentrating its raw rows in one task, which a
+    count window would); ids are collected only for SURVIVING buckets
+    (<= cap by the guard, so the aggregation buffer is bounded); and a
+    JVM transform/filter/flatten lambda enumerates the doc_a < doc_b
+    pairs. Emitted pair multiset is identical (every unordered id pair
+    within a surviving bucket, exactly once)."""
+    sig = sig.localCheckpoint()
+    kept = (
+        sig.groupBy(*band_cols)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket_size))
+        .select(*band_cols)
     )
-    a = bounded.alias("a")
-    b = bounded.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    for c in band_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    return a.join(b, cond).select(
-        F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+    grp = (
+        sig.join(kept, band_cols)
+        .groupBy(*band_cols)
+        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
     )
+    pairs = F.expr(
+        "flatten(transform(_ids, x ->"
+        " transform(filter(_ids, y -> x < y), y ->"
+        " struct(x AS doc_a, y AS doc_b))))"
+    )
+    return grp.select(F.explode(pairs).alias("_p")).select("_p.doc_a", "_p.doc_b")
 
 
 def banded_star_edges(

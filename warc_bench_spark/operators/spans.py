@@ -65,9 +65,13 @@ def duplicate_spans(
     doc_a < doc_b, 0-based token offsets, and len_tokens >= min_tokens;
     one row per maximal shared run per document pair.
     """
+    # tokenized corpus is read three times (gram table + both verify
+    # sides); materialize it once so the split/scan work is not re-run per
+    # branch (r8, guide §5 localCheckpoint for reused intermediates — the
+    # same discipline as the kernel's persisted rank input)
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
-    ).filter(F.size("toks") >= k)
+    ).filter(F.size("toks") >= k).localCheckpoint()
 
     grams = toks.select(
         "doc_id",
@@ -80,25 +84,44 @@ def duplicate_spans(
     )
 
     # stop-gram cap: 2 <= distinct docs <= cap (1-doc grams can never seed
-    # a cross-doc pair; > cap is boilerplate with quadratic fan-out)
+    # a cross-doc pair; > cap is boilerplate with quadratic fan-out).
+    # r8 (guide §2.4/§5): the gram table is materialized ONCE
+    # (localCheckpoint) — the previous shape computed it three times (the
+    # cap aggregate plus both sides of a hash self-join). The cap still
+    # comes from a count_distinct BEFORE any occurrence list exists (a
+    # collect_list over uncapped grams would buffer a boilerplate gram's
+    # whole posting in one aggregation group — the OOM-at-scale shape);
+    # the occurrence lists are then collected only for SURVIVING grams
+    # (bounded by cap docs x within-doc repeats, i.e. doc length) and a
+    # JVM lambda enumerates the doc_a < doc_b occurrence cross-pairs.
+    # Pair multiset is identical to the old self-join.
+    grams = grams.localCheckpoint()
     keep = (
         grams.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("_nd"))
         .filter((F.col("_nd") >= 2) & (F.col("_nd") <= max_docs_per_gram))
         .select("g")
     )
-    bounded = grams.join(keep, "g")
-
-    a = bounded.select(
-        F.col("g"), F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
+    occ = (
+        grams.join(keep, "g")
+        .groupBy("g")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("_os"))
     )
-    b = bounded.select(
-        F.col("g"), F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
-    )
-    seeds = (
-        a.join(b, "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    seeds = occ.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_os, x ->"
+                " transform(filter(_os, y -> x.doc_id < y.doc_id), y ->"
+                " struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                " x.pos AS pa, y.pos AS pb))))"
+            )
+        ).alias("_s")
+    ).select(
+        F.col("_s.doc_a").alias("doc_a"),
+        F.col("_s.doc_b").alias("doc_b"),
+        F.col("_s.pa").alias("pa"),
+        F.col("_s.pb").alias("pb"),
+        (F.col("_s.pa") - F.col("_s.pb")).alias("diag"),
     )
 
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
@@ -182,9 +205,11 @@ def contaminated_docs(
     corpus grams past the broadcast probe table; islands/verify work on
     the seed set, bounded by benchmark size x cap.
     """
+    # corpus token arrays feed the gram pass AND the exact-verify join;
+    # one materialization (same rationale as duplicate_spans)
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
-    ).filter(F.size("toks") >= k)
+    ).filter(F.size("toks") >= k).localCheckpoint()
     btoks = bench.select(
         F.col(bench_id_col).alias("bench_id"),
         F.split(F.col(bench_text_col), " ").alias("btoks"),
@@ -201,7 +226,12 @@ def contaminated_docs(
             ).alias(pos, "g"),
         )
 
-    cg = grams(toks, "doc_id", "toks", "pos")
+    # r8: the corpus gram table is read twice (cap aggregate + seed join);
+    # materialize it once instead of re-running the scan/split/hash/explode
+    # subtree per branch (same localCheckpoint discipline as
+    # duplicate_spans — at 100 TB the materialized gram table is the
+    # smaller cost against two full corpus passes)
+    cg = grams(toks, "doc_id", "toks", "pos").localCheckpoint()
     bg = grams(btoks, "bench_id", "btoks", "bpos")
 
     # corpus-side stop-gram cap only (no >=2 floor: a gram in ONE training

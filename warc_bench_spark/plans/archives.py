@@ -46,7 +46,7 @@ def build_fixture(spark, sf_dir: str) -> str:
     # testdata would silently diverge from the oracle). Cost: a 20-row
     # collect + two small zip writes.
     rows = (
-        t(spark, sf_dir, "documents")
+        t(spark, sf_dir, "documents", spread=True)
         .filter(F.col("doc_id") < N_DOCS)
         .select("doc_id", "text")
         .orderBy("doc_id")

@@ -66,7 +66,7 @@ def q47(spark, sf_dir):
     """A10 exact ROUGE-1 F1 (action_grounding_utils.py:101-130): the
     reference tokenizes with str.split() into SETS, so precision/recall are
     distinct-token-overlap ratios — pure JVM array ops, no UDF."""
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     a = d.filter(F.col("doc_id") < 300).select(
         F.col("doc_id").alias("doc_a"), _tokens_distinct("text").alias("ta")
     )
@@ -100,7 +100,7 @@ def q48(spark, sf_dir):
     pandas UDF; rows-only oracle + golden numbers in tests/test_textsim.py."""
     from ..functions.textsim import DEFAULT_SIMILARITY_THRESHOLD, axtree_similarity_udf
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     a = d.filter(F.col("doc_id") < 100).select(
         F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
     )

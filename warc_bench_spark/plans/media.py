@@ -81,7 +81,7 @@ def q74(spark, sf_dir):
     same way a real screenshot column would."""
     from ..operators.multimodal import image_pair_stats, synth_image_pair_bytes
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     pairs = synth_image_pair_bytes(
         d,
         "doc_id",

@@ -18,6 +18,8 @@ value-hash matches bit-for-bit):
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -42,8 +44,71 @@ def register(name: str, sql: str | None):
     return deco
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# Scan-spread guard (optimization guide §2.5 "input skew: one huge
+# unsplittable file → repartition immediately after the read", §6): the
+# local sf tables are single-file, mostly single-ROW-GROUP parquet, so a
+# scan yields 1-2 non-splittable tasks no matter how small
+# maxPartitionBytes goes — and every pre-exchange stage (scan + project +
+# explode/regex/gram-hash/Python) runs near-single-threaded. Queries
+# whose FIRST stage does heavy per-row work (sha/gram hashing, regex,
+# codecs, higher-order lambdas) opt in with ``spread=True``: when the
+# size-derived split count cannot fill the session's parallelism, the
+# read gets ONE hash repartition on the table's key (hash, not
+# round-robin: a keyless repartition first pays a local SORT of the
+# unsplit input — sortBeforeRepartition — which r8 measured as a net
+# LOSS on cheap queries; key-hash is sort-free and retry-deterministic,
+# guide §2.5). Stays opt-in because a query whose big table otherwise
+# never shuffles (broadcast-join + partial-agg pipelines, e.g. q02)
+# only pays for the added exchange. Scale-adaptive by construction: on
+# a real cluster `size/maxPartitionBytes < defaultParallelism` is false
+# for any table big enough to matter, so this is a local-layout fix,
+# not a local[32] tuning constant. Env-tunable floor; 0 disables.
+_SPREAD_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SCAN_SPREAD_MIN_BYTES", str(2 * 1024 * 1024))
+)
+_SPREAD_CACHE: dict[tuple[str, int], int] = {}
+_TABLE_KEYS: dict[str, list[str]] = {
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+}
+
+
+def _conf_bytes(val: str) -> int:
+    m = re.fullmatch(r"(\d+)([kmgtp]?)b?", val.strip().lower())
+    if not m:
+        return 128 * 1024 * 1024
+    exp = 1 + "kmgtp".index(m.group(2)) if m.group(2) else 0
+    return int(m.group(1)) * 1024**exp
+
+
+def t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if not spread or not _SPREAD_MIN_BYTES:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    key = (path, par)
+    n = _SPREAD_CACHE.get(key)
+    if n is None:
+        try:
+            size = os.path.getsize(path)  # single local file; dirs/remote -> 0
+        except OSError:
+            size = 0
+        mpb = _conf_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+        n = par if size >= _SPREAD_MIN_BYTES and -(-size // mpb) < par else 0
+        _SPREAD_CACHE[key] = n
+    if not n:
+        return df
+    keys = _TABLE_KEYS.get(name)
+    return df.repartition(n, *keys) if keys else df.repartition(n)
 
 
 DEC = "decimal(18,4)"
@@ -579,7 +644,7 @@ def q22(spark, sf_dir):
     """MinHash signatures (k=4) over the token set — the shingle→minhash
     stage of MinHash-LSH dedup. Hash = sha256(seed || token), identical in
     both engines, so min-over-set is engine-invariant."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).filter(
         F.col("token") != ""
     )

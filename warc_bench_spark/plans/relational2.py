@@ -105,7 +105,7 @@ def q35(spark, sf_dir):
 def q36(spark, sf_dir):
     """C18/S7: JSON-as-string parse into typed values
     (task_completion_verifier.py:193-210; from_json/get_json_object)."""
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events", spread=True)
     k = F.get_json_object("props", "$.k").cast("long")
     return (
         ev.groupBy("event_type")
@@ -229,7 +229,7 @@ def q40(spark, sf_dir):
 def q41(spark, sf_dir):
     """J10: element-wise GT↔prediction list alignment via zip_with
     (executor_eval.py:460-520 _correct_bids/_correct_coordinates)."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     a = F.slice(F.split("text", " "), 1, 10)
     b = F.slice(F.split(F.lower("text"), " "), 1, 10)
     aligned = F.size(
@@ -521,13 +521,14 @@ def q76(spark, sf_dir):
     once per branch (three cheap column-pruned scans) rather than
     persisted — at 100 TB re-reading a pruned scan beats caching the
     exploded grams."""
-    d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("ws"))
+    d = t(spark, sf_dir, "documents", spread=True).select("doc_id", F.split("text", " ").alias("ws"))
     stats = d.select(
         "doc_id",
         "ws",
         F.size("ws").cast("long").alias("n_tokens"),
         F.expr("aggregate(ws, 0L, (a, x) -> a + length(x))").alias("tok_chars"),
-    )
+    ).localCheckpoint()  # r8: three branches (bigrams/trigrams/out) read
+    # stats — materialize the scan+split+aggregate once (guide §5)
     # Spark's sequence(1, n) DESCENDS when n < 1 (DuckDB's generate_series
     # is empty there), so gram positions are guarded with a when().
     bigrams = stats.select(
@@ -628,10 +629,11 @@ def q77(spark, sf_dir):
     vocab has billions of rare tokens, so the token->freq lookup stays
     an equi-join for AQE to pick the build side, exactly the spans.py
     lesson from VERDICT r6."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     tk = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).filter(
         F.col("token") != ""
-    )
+    ).localCheckpoint()  # r8: the token stream feeds BOTH the vocabulary
+    # aggregate and the scoring join — materialize the explode once
     vocab = tk.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     return (
         tk.join(vocab, "token")
@@ -697,7 +699,7 @@ def q78(spark, sf_dir):
     hash-mismatch. Scale shape: pure per-row JVM string work, no shuffle
     until the final presentation sort; at 100 TB this is a map-only stage
     that rides whatever partitioning the scan gives."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     email_re = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
     ip_re = r"\b(\d{1,3}\.){3}\d{1,3}\b"
     aug = d.select(
@@ -765,7 +767,7 @@ def q79(spark, sf_dir):
     rejects them). Digit/punct material is injected from doc_id since
     the synthetic corpus is pure words. Map-only per-row JVM work; the
     alternation is one scan pass per row."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     aug = d.select(
         "doc_id",
         F.concat(
@@ -1079,7 +1081,7 @@ def q83(spark, sf_dir):
     production index would shard long lists (the q67 stop-gram cap
     pattern) — here the LIMIT keeps the driver row set bounded while the
     aggregation itself stays unbounded and distributed."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     pairs = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
@@ -1143,7 +1145,7 @@ def q84(spark, sf_dir):
     lexicographically-smallest tokens; the estimate is MIN over rows of
     the probed counters and bound_holds asserts the CM guarantee
     (estimate >= truth) inside the hashed values themselves."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     tk = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
         F.col("token") != ""
     )
@@ -1153,18 +1155,22 @@ def q84(spark, sf_dir):
         1,
         2,
     )
+    # r8 (guide §2.3 "aggregate before you shuffle"): the counter build
+    # used to cross-join every token OCCURRENCE with the 4 sketch rows and
+    # sha256 each of the 4N copies. Counting per token FIRST (one pass,
+    # map-side partial agg) and summing counts into buckets is the same
+    # arithmetic — sum over tokens in a bucket of the token's count — but
+    # hashes 4x|vocab| strings instead of 4x|corpus| and feeds the probe
+    # top-10 from the same aggregate instead of a second full explode.
+    vocab = tk.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    vocab = vocab.localCheckpoint()  # counters + probes share one pass
     counters = (
-        tk.crossJoin(F.broadcast(rows))
-        .select("i", bucket.alias("bucket"))
+        vocab.crossJoin(F.broadcast(rows))
+        .select("i", bucket.alias("bucket"), "true_count")
         .groupBy("i", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("true_count").alias("cnt"))
     )
-    probes = (
-        tk.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("true_count"))
-        .orderBy("token")
-        .limit(10)
-    )
+    probes = vocab.orderBy("token").limit(10)
     probed = probes.crossJoin(F.broadcast(rows)).select(
         "token", "true_count", "i", bucket.alias("bucket")
     )

@@ -34,7 +34,7 @@ _SHINGLE_SQL = """
 
 
 def _shingles(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     ws = d.select("doc_id", F.split("text", " ").alias("ws"))
     idx = ws.select(
         "doc_id", "ws", F.explode(F.sequence(F.lit(1), F.size("ws") - 2)).alias("i")
@@ -183,7 +183,7 @@ def _simhash_bit_sql(b: int) -> str:
 def q26(spark, sf_dir):
     """SimHash fingerprint: per-bit majority vote over token hashes
     (8-bit variant; the standard near-dup sketch)."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     toks = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
@@ -415,12 +415,16 @@ def q31(spark, sf_dir):
         F.count(F.when(F.col("concurrent_to").isNull(), 1)).alias("n_orphan_resp"),
     )
     leftover = resp.filter(F.col("concurrent_to").isNull())
-    w = Window.partitionBy("resp_id").orderBy("record_id")
-    fallback = (
-        leftover.join(req, "uri")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
+    # The oracle's fallback CTE keeps rn=1 per resp_id over the uri join —
+    # exactly ONE row per leftover resp that has >= 1 req with the same
+    # uri. Its COUNT therefore equals a semi-join count, and the uri
+    # domain is tiny (user_id % 50 -> <= 50 values), so the inner join
+    # was an exploding |leftover| x |req| / 50 pair blow-up (r7 driver
+    # record: 189 s at sf1.0) feeding a window that kept one row per
+    # resp_id anyway. The semi-join against the distinct uris computes
+    # the identical count with zero fan-out (guide §3: avoid exploding
+    # joins; broadcast the provably-small side).
+    fallback = leftover.join(req.select("uri").distinct(), "uri", "semi")
     return direct_orphan.crossJoin(
         fallback.agg(F.count(F.lit(1)).alias("n_fallback"))
     ).select("n_direct", "n_fallback", "n_orphan_resp")
@@ -511,7 +515,7 @@ def q59(spark, sf_dir):
     from pyspark.sql import functions as F
 
     d = (
-        t(spark, sf_dir, "documents")
+        t(spark, sf_dir, "documents", spread=True)
         .filter(F.col("doc_id") < 50)
         .select("doc_id", F.col("text").alias("txt"))
     )
@@ -612,7 +616,7 @@ def q62(spark, sf_dir):
     from ..operators.similarity import dot_col, signature_col
 
     planes = _ann_planes()
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", spread=True)
     qv = F.transform(
         F.col("embedding").cast("array<double>"), lambda x: F.round(x * ANN_Q, 0)
     )
@@ -640,6 +644,10 @@ def q62(spark, sf_dir):
             )
         ).alias("_bs"),
     ).select("vec_id", "qv", "_bs.band", "_bs.sig")
+    # probes + corpus both read sig — materialize the quantize/signature
+    # lambda work once (interpreted higher-order functions are the cost
+    # here, not the bytes; r8, guide §5)
+    sig = sig.localCheckpoint()
     probes = sig.filter(F.col("vec_id") < ANN_N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv"), "band", "sig"
     )
@@ -739,7 +747,7 @@ def q71(spark, sf_dir):
     from ..operators.similarity import dot_col, signature_col
 
     planes = _ann_planes()
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", spread=True)
     qv = F.transform(
         F.col("embedding").cast("array<double>"), lambda x: F.round(x * ANN_Q, 0)
     )
@@ -767,6 +775,9 @@ def q71(spark, sf_dir):
             )
         ).alias("_bs"),
     ).select("vec_id", "qv", "n2", "_bs.band", "_bs.sig")
+    # kept + members both read sig — materialize the quantize/signature
+    # lambda work once (r8, same rationale as q62)
+    sig = sig.localCheckpoint()
     # Plan shape (vs the obvious window + self-join): the stop-bucket
     # guard is a partially-aggregable COUNT, so a degenerate bucket at
     # 10^10 rows is dropped via map-side combine without ever
@@ -885,10 +896,14 @@ def q60(spark, sf_dir):
 
     sig = _minhash_sig(spark, sf_dir)
     cand = banded_candidate_pairs(sig, ["mh1", "mh2", "mh3", "mh4"], max_bucket_size=64)
+    # token sets feed THREE consumers (sizes + both intersection sides);
+    # materialize the explode+distinct once (r8, guide §5 — the same
+    # localCheckpoint discipline as operators/spans.py)
     toks = (
-        t(spark, sf_dir, "documents")
+        t(spark, sf_dir, "documents", spread=True)
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .distinct()
+        .localCheckpoint()
     )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
@@ -1032,7 +1047,7 @@ def q67(spark, sf_dir):
     the gram cap."""
     from ..operators.spans import duplicate_spans
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     return duplicate_spans(
         d,
         "doc_id",
@@ -1115,7 +1130,7 @@ def q68(spark, sf_dir):
     construction) dwarf cross-engine float-summation noise."""
     from ..operators.langid import synth_labeled_corpus, train_predict_langid
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     corpus = synth_labeled_corpus(d, "doc_id", n_chars=_NB_CHARS)
     return train_predict_langid(corpus, n=2, test_mod=_NB_TEST_MOD).orderBy("doc_id")
 
@@ -1247,7 +1262,7 @@ def q75(spark, sf_dir):
     value-checks seeds, islands, and the per-doc contamination report."""
     from ..operators.spans import contaminated_docs
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     bench = d.filter(F.col("doc_id") % _Q75_BENCH_MOD == 0).select(
         F.col("doc_id").alias("bench_id"),
         F.concat_ws(
@@ -1285,7 +1300,7 @@ def q69(spark, sf_dir):
     end-to-end."""
     from ..operators.spans import duplicate_spans, excise_spans
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     spans = duplicate_spans(
         d,
         "doc_id",
