@@ -26,6 +26,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from warc_bench_spark.session import get_spark  # noqa: E402
 
 
+def load_probe() -> dict:
+    """Same ambient probe as bench.py: loadavg + single-core DRAM memcpy."""
+    import numpy as np
+
+    with open("/proc/loadavg") as f:
+        la = f.read().split()
+    src = np.ones(64 * 1024 * 1024 // 8, dtype=np.float64)
+    dst = np.empty_like(src)
+    dst.fill(0.0)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.copyto(dst, src)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "loadavg_1m": float(la[0]),
+        "memcpy_gbps": round((2 * src.nbytes / best) / 1e9, 2),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*", help="qNN prefixes (e.g. q31)")
@@ -68,6 +88,7 @@ def main() -> None:
         spark.stop()
         return
 
+    probes = {"start": load_probe()}
     results: dict[str, list[float]] = {}
     for name in names:
         spark.sparkContext.setJobDescription(name)
@@ -78,8 +99,13 @@ def main() -> None:
             draws.append(round(time.perf_counter() - t0, 3))
         results[name.split("_", 1)[0]] = draws
         print(f"  {name}: {draws}", file=sys.stderr, flush=True)
+    probes["end"] = load_probe()
     spark.stop()
-    print(json.dumps({"dir": args.dir, "cpus": args.cpus, "results": results}))
+    print(
+        json.dumps(
+            {"dir": args.dir, "cpus": args.cpus, "results": results, "probes": probes}
+        )
+    )
 
 
 if __name__ == "__main__":

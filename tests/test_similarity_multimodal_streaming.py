@@ -305,6 +305,25 @@ def test_image_pair_synth_and_stats_branches(spark):
             assert r["ssd_pair"] == 0  # bit-identical pair
 
 
+def test_image_pair_fused_stats_match_two_stage(spark):
+    """r8: q74's fused single-Python-stage path (synth_image_pair_stats)
+    must produce row-for-row the same stats as the two-stage composition —
+    the fusion only removes the boundary crossing of the blobs, never the
+    encode -> sniff -> decode round-trip itself."""
+    from warc_bench_spark.operators.multimodal import (
+        image_pair_stats,
+        synth_image_pair_bytes,
+        synth_image_pair_stats,
+    )
+
+    docs = spark.range(0, 48).withColumnRenamed("id", "doc_id")
+    two_stage = sorted(
+        tuple(r) for r in image_pair_stats(synth_image_pair_bytes(docs)).collect()
+    )
+    fused = sorted(tuple(r) for r in synth_image_pair_stats(docs).collect())
+    assert fused == two_stage
+
+
 def test_image_pair_bytes_are_real_encodings(spark):
     """The pair blobs are genuine BMP/PPM files in opposite formats."""
     from warc_bench_spark.functions import codecs

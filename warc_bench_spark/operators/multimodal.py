@@ -436,6 +436,57 @@ def _synth_pixels(d: int, h: int, w: int, shift: int) -> np.ndarray:
     return ((d * 31 + y * 17 + x * 7 + c * 101 + shift) % 256).astype(np.uint8)
 
 
+def _synth_pair_blobs(
+    ids,
+    width: int,
+    height_base: int,
+    height_mod: int,
+    shift: int,
+    shift_every: int,
+    resize_every: int,
+) -> tuple[list[bytes], list[bytes]]:
+    """Shared per-batch generator: (before, after) encoded blobs per id —
+    the single definition both the two-stage path and the fused q74 path
+    run, so they cannot drift."""
+    from ..functions import codecs
+
+    befores, afters = [], []
+    for d in ids:
+        d = int(d)
+        h = height_base + d % height_mod
+        ah = h + (1 if d % resize_every == 0 else 0)
+        s = shift if d % shift_every == 0 else 0
+        img_a = _synth_pixels(d, h, width, 0)
+        img_b = _synth_pixels(d, ah, width, s)
+        enc_a = codecs.encode_bmp if d % 2 == 0 else codecs.encode_ppm
+        enc_b = codecs.encode_ppm if d % 2 == 0 else codecs.encode_bmp
+        befores.append(enc_a(img_a))
+        afters.append(enc_b(img_b))
+    return befores, afters
+
+
+def _pair_stats_columns(ids, befores, afters) -> dict:
+    """Shared per-batch decode+stats: the exact loop of image_pair_stats,
+    factored so the fused path runs the identical decode."""
+    from ..functions import codecs
+
+    out = {f.name: [] for f in IMG_STATS_SCHEMA.fields}
+    for d, a, b in zip(ids, befores, afters):
+        ia = codecs.decode_image(bytes(a)).astype(np.int64)
+        ib = codecs.decode_image(bytes(b)).astype(np.int64)
+        out["doc_id"].append(int(d))
+        out["height"].append(ia.shape[0])
+        out["width"].append(ia.shape[1])
+        out["after_height"].append(ib.shape[0])
+        out["sum_r"].append(int(ia[:, :, 0].sum()))
+        out["sum_g"].append(int(ia[:, :, 1].sum()))
+        out["sum_b"].append(int(ia[:, :, 2].sum()))
+        out["ssd_pair"].append(
+            0 if ia.shape != ib.shape else int(((ia - ib) ** 2).sum())
+        )
+    return out
+
+
 def synth_image_pair_bytes(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -465,23 +516,12 @@ def synth_image_pair_bytes(
     (``codecs.encode_bmp``/``encode_ppm``): a PIL cluster decoding these
     files reads the same pixels back.
     """
-    from ..functions import codecs
-
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            befores, afters = [], []
-            for d in ids:
-                d = int(d)
-                h = height_base + d % height_mod
-                ah = h + (1 if d % resize_every == 0 else 0)
-                s = shift if d % shift_every == 0 else 0
-                img_a = _synth_pixels(d, h, width, 0)
-                img_b = _synth_pixels(d, ah, width, s)
-                enc_a = codecs.encode_bmp if d % 2 == 0 else codecs.encode_ppm
-                enc_b = codecs.encode_ppm if d % 2 == 0 else codecs.encode_bmp
-                befores.append(enc_a(img_a))
-                afters.append(enc_b(img_b))
+            befores, afters = _synth_pair_blobs(
+                ids, width, height_base, height_mod, shift, shift_every, resize_every
+            )
             # ids as a plain array: mixing an index-carrying Series with
             # positional lists would silently misalign on a non-default
             # index (r7 ADVICE; Arrow batches carry a RangeIndex today,
@@ -511,24 +551,9 @@ def image_pair_stats(
     pure-BIGINT inequality — no float ever touches a value hash. Decode is
     format-sniffed (``codecs.decode_image``), the same dispatch as the
     real-bytes metadata probe."""
-    from ..functions import codecs
-
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {f.name: [] for f in IMG_STATS_SCHEMA.fields}
-            for d, a, b in zip(pdf[id_col], pdf[a_col], pdf[b_col]):
-                ia = codecs.decode_image(bytes(a)).astype(np.int64)
-                ib = codecs.decode_image(bytes(b)).astype(np.int64)
-                out["doc_id"].append(int(d))
-                out["height"].append(ia.shape[0])
-                out["width"].append(ia.shape[1])
-                out["after_height"].append(ib.shape[0])
-                out["sum_r"].append(int(ia[:, :, 0].sum()))
-                out["sum_g"].append(int(ia[:, :, 1].sum()))
-                out["sum_b"].append(int(ia[:, :, 2].sum()))
-                out["ssd_pair"].append(
-                    0 if ia.shape != ib.shape else int(((ia - ib) ** 2).sum())
-                )
+            out = _pair_stats_columns(pdf[id_col], pdf[a_col], pdf[b_col])
             yield pd.DataFrame(out).astype(
                 {"width": "int32", "height": "int32", "after_height": "int32"}
             )
@@ -536,6 +561,41 @@ def image_pair_stats(
     return media.select(
         F.col(id_col).alias(id_col), F.col(a_col).alias(a_col), F.col(b_col).alias(b_col)
     ).mapInPandas(stats, IMG_STATS_SCHEMA)
+
+
+def synth_image_pair_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 8,
+    height_base: int = 6,
+    height_mod: int = 3,
+    shift: int = 77,
+    shift_every: int = 16,
+    resize_every: int = 24,
+) -> DataFrame:
+    """Fused synth→stats path for plans that only need the STATS (q74):
+    one ``mapInPandas`` stage runs the identical generate → encode →
+    sniff → decode → stats loop (the same shared helpers as the two-stage
+    operators, so the codec round-trip is still exercised on real bytes),
+    but the encoded blobs never cross the JVM↔Python boundary — r8, guide
+    §4: two Arrow transposes and one whole Python stage removed.
+    Equality with the two-stage composition is pinned by
+    tests/test_similarity_multimodal_streaming.py."""
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            befores, afters = _synth_pair_blobs(
+                ids, width, height_base, height_mod, shift, shift_every, resize_every
+            )
+            out = _pair_stats_columns(ids.to_numpy(), befores, afters)
+            yield pd.DataFrame(out).astype(
+                {"width": "int32", "height": "int32", "after_height": "int32"}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        fused, IMG_STATS_SCHEMA
+    )
 
 
 def sample_frames(meta: DataFrame, every_n: int = 30) -> DataFrame:

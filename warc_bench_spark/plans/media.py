@@ -79,10 +79,14 @@ def q74(spark, sf_dir):
     Scale shape: per-image granularity in Arrow batches, no shuffle at all
     until the final orderBy; binary columns ride the Arrow transport the
     same way a real screenshot column would."""
-    from ..operators.multimodal import image_pair_stats, synth_image_pair_bytes
+    from ..operators.multimodal import synth_image_pair_stats
 
     d = t(spark, sf_dir, "documents", spread=True)
-    pairs = synth_image_pair_bytes(
+    # r8 (guide §4): the fused single-stage path — same generate → encode
+    # → sniff → decode → stats loop via the same shared helpers as the
+    # two-stage operators (equality pinned by test), but the encoded
+    # blobs never cross the JVM↔Python boundary
+    stats = synth_image_pair_stats(
         d,
         "doc_id",
         width=_W,
@@ -92,7 +96,6 @@ def q74(spark, sf_dir):
         shift_every=_SHIFT_EVERY,
         resize_every=_RESIZE_EVERY,
     )
-    stats = image_pair_stats(pairs)
     n_sub = F.col("height").cast("long") * F.col("width") * F.lit(3)
     return stats.select(
         "doc_id",

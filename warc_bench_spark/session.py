@@ -67,6 +67,17 @@ def get_spark(
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # r8: localCheckpoint blocks (reused intermediates in the heavy
+        # query plans) are only released after a JVM GC lets the
+        # ContextCleaner's weak references fire; the default periodic-GC
+        # interval (30 min) lets blocks from earlier queries pile up in
+        # the protected storage region of a long-lived session and
+        # squeeze later queries' execution memory. One minute bounds the
+        # accumulation at negligible GC cost.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
+        )
         # GC knob for kernel experiments (local mode = driver JVM only).
         # Measured on the 8M kernel: default G1 is the best of G1-tuned /
         # ParallelGC / ZGC — the knob stays for cluster-side tuning.
