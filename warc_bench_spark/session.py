@@ -109,6 +109,14 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_CACHE_COMPRESS", "true"),
         )
     )
+    if max_partition_bytes is None and os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES"):
+        # r8 session default (env-tunable): local sf parquet is one file of
+        # ~1M-row row groups, so the 128MB default bin-packs a whole table
+        # into one scan task; a smaller split lets multi-row-group files
+        # scan at row-group parallelism with NO added exchange. Callers
+        # that pass an explicit value (kernel/wave benches) are unchanged,
+        # and on a cluster the env is simply not set.
+        max_partition_bytes = int(os.environ["SPARK_GRAFT_MAX_PARTITION_BYTES"])
     if max_partition_bytes is not None:
         builder = builder.config(
             "spark.sql.files.maxPartitionBytes", str(max_partition_bytes)
