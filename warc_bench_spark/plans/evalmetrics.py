@@ -100,7 +100,10 @@ def q48(spark, sf_dir):
     pandas UDF; rows-only oracle + golden numbers in tests/test_textsim.py."""
     from ..functions.textsim import DEFAULT_SIMILARITY_THRESHOLD, axtree_similarity_udf
 
-    d = t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    # no scan spread here (r8): the pair set is bounded to doc_id < 100 by
+    # construction, so the real UDF work is ~100 rows — spreading only
+    # multiplies Python-worker startup under the broadcast join
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
     a = d.filter(F.col("doc_id") < 100).select(
         F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
     )

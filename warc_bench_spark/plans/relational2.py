@@ -632,8 +632,7 @@ def q77(spark, sf_dir):
     d = t(spark, sf_dir, "documents", spread=True)
     tk = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).filter(
         F.col("token") != ""
-    ).localCheckpoint()  # r8: the token stream feeds BOTH the vocabulary
-    # aggregate and the scoring join — materialize the explode once
+    )
     vocab = tk.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     return (
         tk.join(vocab, "token")
@@ -787,12 +786,23 @@ def q79(spark, sf_dir):
             .alias(alias)
         )
 
-    return aug.select(
+    counted = aug.select(
         "doc_id",
         n(r"\p{L}+", "n_word"),
         n("[0-9]+", "n_number"),
         n(r"[^\p{L}0-9\s]+", "n_punct"),
-        n(r"\p{L}+|[0-9]+|[^\p{L}0-9\s]+", "n_tokens"),
+    )
+    # r8: the three classes are disjoint and jointly cover every non-\s
+    # char, so the alternation's leftmost-longest runs are exactly the
+    # union of the three class runs — n_tokens is their sum, and the
+    # fourth regex scan per row is dropped (result identical; the oracle
+    # SQL keeps the textbook alternation form)
+    return counted.select(
+        "doc_id",
+        "n_word",
+        "n_number",
+        "n_punct",
+        (F.col("n_word") + F.col("n_number") + F.col("n_punct")).alias("n_tokens"),
     ).orderBy("doc_id")
 
 
