@@ -245,3 +245,56 @@ def test_contam_probe_broadcast_is_the_bounded_exception(spark):
     )
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" in logical
+
+
+def test_gram_hash_equality_classes_match_string_grams(spark):
+    # r8: the gram hash is xxhash64 over k per-token xxhash64 values (one
+    # hash per token, 8k fixed bytes per position) instead of xxhash64 of a
+    # re-built k-token string per position. This pins the internals: the
+    # equality classes of the hashed gram table must be EXACTLY the equality
+    # classes of the literal gram strings — same positions grouped, no
+    # merges (collisions) and no splits — on a corpus with planted repeats,
+    # near-miss grams (one token differs), and tokens that are prefixes of
+    # each other ("s1" vs "s11", where a string-level separator matters).
+    from pyspark.sql import functions as F
+
+    from warc_bench_spark.operators.spans import _gram_hash_args
+
+    k = 4
+    shared = words("s", 12)  # includes s1/s11-style prefix tokens
+    texts = {
+        1: shared + " " + words("x", 5),
+        2: words("y", 3) + " " + shared,
+        3: shared.replace("s5", "zz") + " " + words("w", 4),  # near-miss
+    }
+    toks = _docs(spark, texts).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    hashed = toks.withColumn(
+        "_th", F.expr("transform(toks, t -> xxhash64(t))")
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(_th) - {k}),"
+                f" i -> xxhash64({_gram_hash_args(k)}))"
+            )
+        ).alias("pos", "g"),
+    )
+    strings = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {k}),"
+                f" i -> concat_ws(' ', slice(toks, i + 1, {k})))"
+            )
+        ).alias("pos", "gs"),
+    )
+    joined = hashed.join(strings, ["doc_id", "pos"]).collect()
+    by_hash: dict[int, set[str]] = {}
+    by_string: dict[str, set[int]] = {}
+    for r in joined:
+        by_hash.setdefault(r.g, set()).add(r.gs)
+        by_string.setdefault(r.gs, set()).add(r.g)
+    assert all(len(v) == 1 for v in by_hash.values()), "hash collision merged distinct grams"
+    assert all(len(v) == 1 for v in by_string.values()), "equal grams split across hashes"

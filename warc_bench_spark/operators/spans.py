@@ -10,9 +10,11 @@ dropping whole near-dup docs.
 The published method is a monolithic suffix array; the Spark-first
 re-expression is seed-and-extend over k-gram matches, which distributes:
 
-1. **Gram table** — every token position emits the ``xxhash64`` of its
-   k-token gram (one JVM ``transform``/``slice`` pass over the split
-   array; no Python).
+1. **Gram table** — every token position emits a 64-bit hash of its
+   k-token gram: one ``xxhash64`` per token, then ``xxhash64`` over the k
+   token hashes per position (all JVM ``transform`` passes, no Python; see
+   ``_gram_hash_args`` for why this beats hashing a rebuilt k-token
+   string per position).
 2. **Stop-gram cap** (the q24/q62 discipline) — grams present in more
    than ``max_docs_per_gram`` distinct docs are boilerplate with
    unbounded pair fan-out at 10^10 rows; they carry no discriminative
@@ -51,6 +53,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _gram_hash_args(k: int) -> str:
+    """SQL arg list hashing gram [i, i+k) from per-token hashes ``_th``.
+
+    The gram hash is ``xxhash64(_th[i], …, _th[i+k-1])`` over a
+    once-per-token ``xxhash64`` array instead of
+    ``xxhash64(concat_ws(' ', slice(toks, i+1, k)))``: the old form
+    re-materialized a k-token string per POSITION (O(n·k) bytes built and
+    hashed per doc), the new one hashes 8·k fixed bytes of already-computed
+    token hashes (O(n·k) → O(n) string traffic; measured 2.3× on the gram
+    stage, r8). Gram equality semantics are unchanged up to 64-bit hash
+    collisions — exactly the exposure the old form had — and the exact
+    verify join downstream makes emitted spans collision-proof either way.
+    ``arr[idx]`` is 0-based (unlike 1-based ``slice``), so valid indices for
+    i ∈ [0, n-k] are i .. i+k-1.
+    """
+    return ", ".join(f"_th[i + {j}]" if j else "_th[i]" for j in range(k))
+
+
 def duplicate_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -73,12 +93,14 @@ def duplicate_spans(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
     ).filter(F.size("toks") >= k).localCheckpoint()
 
-    grams = toks.select(
+    grams = toks.withColumn(
+        "_th", F.expr("transform(toks, t -> xxhash64(t))")
+    ).select(
         "doc_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, size(toks) - {k}),"
-                f" i -> xxhash64(concat_ws(' ', slice(toks, i + 1, {k}))))"
+                f"transform(sequence(0, size(_th) - {k}),"
+                f" i -> xxhash64({_gram_hash_args(k)}))"
             )
         ).alias("pos", "g"),
     )
@@ -216,12 +238,16 @@ def contaminated_docs(
     ).filter(F.size("btoks") >= k)
 
     def grams(t: DataFrame, idc: str, tc: str, pos: str) -> DataFrame:
-        return t.select(
+        # per-token-hash gram hashing (see _gram_hash_args); the corpus and
+        # probe sides MUST use the same construction — they equi-join on g
+        return t.withColumn(
+            "_th", F.expr(f"transform({tc}, t -> xxhash64(t))")
+        ).select(
             idc,
             F.posexplode(
                 F.expr(
-                    f"transform(sequence(0, size({tc}) - {k}),"
-                    f" i -> xxhash64(concat_ws(' ', slice({tc}, i + 1, {k}))))"
+                    f"transform(sequence(0, size(_th) - {k}),"
+                    f" i -> xxhash64({_gram_hash_args(k)}))"
                 )
             ).alias(pos, "g"),
         )
