@@ -66,7 +66,14 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
         )
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # r8: 16g (was 8g). At 5x the r7 driver measurement scale the query
+        # suite OOMs a broadcast build in-suite under 8g: localCheckpoint
+        # blocks + broadcasts from the preceding heavy queries transiently
+        # fill the unified region faster than the 1-min periodic-GC cleaner
+        # drains them, and the next broadcast build finds no headroom
+        # (isolated, the same query fits comfortably). Heap is lazily
+        # committed, so small runs pay nothing; kernel t2/t8/t32 A/B'd flat.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # r8: localCheckpoint blocks (reused intermediates in the heavy
         # query plans) are only released after a JVM GC lets the
         # ContextCleaner's weak references fire; the default periodic-GC
