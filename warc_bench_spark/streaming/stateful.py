@@ -17,8 +17,8 @@ golden total order — tested in tests/test_streaming_stateful.py.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -63,16 +63,45 @@ def politeness_slots_stream(
             next_free, granted = state.get
         else:
             next_free, granted = 0, 0
-        outs: list[dict[str, Any]] = []
+        out_urls: list[np.ndarray] = []
+        out_slots: list[np.ndarray] = []
         for pdf in batches:
-            # deterministic within-batch order: by url
-            for url in sorted(pdf["url"]):
-                slot = max(next_free, (granted // window_limit) * window_ms)
-                outs.append({"host": host, "url": url, "slot_ms": slot})
-                granted += 1
-                next_free = slot + delay_ms
-        state.update((next_free, granted))
-        yield pd.DataFrame(outs, columns=["host", "url", "slot_ms"])
+            n = len(pdf)
+            if n == 0:
+                continue
+            # deterministic within-batch order: by url (object-dtype sort is
+            # the same code-point comparison as Python's sorted())
+            urls = np.sort(pdf["url"].to_numpy())
+            # The scalar recurrence
+            #     slot_i = max(slot_{i-1} + delay, wt_i),  slot_0 = max(nf, wt_0)
+            # with wt_i = ((granted + i) // window_limit) * window_ms is a
+            # running max with additive drift: subtracting i*delay turns it
+            # into a plain cumulative max —
+            #     slot_i = i*delay + cummax_{j<=i}(b_j - j*delay),
+            # b_0 = max(nf, wt_0), b_i = wt_i. One numpy pass instead of a
+            # per-row Python loop (the §4 boundary rule applied to streaming).
+            idx = np.arange(n, dtype=np.int64)
+            wt = ((granted + idx) // window_limit) * window_ms
+            b = wt.copy()
+            b[0] = max(next_free, int(wt[0]))
+            slots = idx * delay_ms + np.maximum.accumulate(b - idx * delay_ms)
+            out_urls.append(urls)
+            out_slots.append(slots)
+            granted += n
+            next_free = int(slots[-1]) + delay_ms
+        state.update((int(next_free), int(granted)))
+        if not out_urls:
+            yield pd.DataFrame({"host": [], "url": [], "slot_ms": []})
+            return
+        urls_all = np.concatenate(out_urls)
+        slots_all = np.concatenate(out_slots)
+        yield pd.DataFrame(
+            {
+                "host": np.repeat(host, len(urls_all)),
+                "url": urls_all,
+                "slot_ms": slots_all,
+            }
+        )
 
     return urls_by_host.applyInPandasWithState(
         assign,
